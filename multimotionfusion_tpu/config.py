@@ -1,0 +1,208 @@
+"""Static configuration for the whole framework.
+
+The reference spreads configuration over three tiers (CLI flags, Pangolin GUI vars
+pushed every frame, ROS services — see reference GUI/MainController.cpp:40-122,
+Core/Model/Model.h:45-61, Core/Segmentation/Segmentation.h:72-80). Here everything
+is a frozen dataclass so configs can be closed over by jitted functions as static
+values; runtime-mutable knobs live on the engine object and are passed as traced
+scalars where they must change without recompilation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraModel:
+    """Pinhole camera model (reference Core/Utils/Intrinsics.h + Resolution.h).
+
+    Unlike the reference's global singletons, this is an explicit value threaded
+    through the pipeline. `level(i)` mirrors `CameraModel operator()(int)` used by
+    the CUDA pyramid code: intrinsics halve per level.
+    """
+
+    width: int = 640
+    height: int = 480
+    fx: float = 528.0
+    fy: float = 528.0
+    cx: float = 320.0
+    cy: float = 240.0
+
+    def level(self, i: int) -> "CameraModel":
+        div = 1 << i
+        return CameraModel(
+            width=self.width >> i,
+            height=self.height >> i,
+            fx=self.fx / div,
+            fy=self.fy / div,
+            cx=self.cx / div,
+            cy=self.cy / div,
+        )
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.height, self.width)
+
+
+@dataclasses.dataclass(frozen=True)
+class OdometryConfig:
+    """Dense RGBD odometry schedule (reference Core/Utils/RGBDOdometry.{h,cpp}).
+
+    iterations follow RGBDOdometry.cpp:312-314: {10,5,4} coarse->fine, or {3,0,0}
+    with fast_odom. Thresholds follow the reference defaults
+    (Model.cpp: icpStep distThres=0.10m, angleThres=sin(20 deg)).
+    """
+
+    num_pyr: int = 3
+    iterations: Tuple[int, ...] = (10, 5, 4)  # level 0 (fine) .. level 2 (coarse)
+    so3_iterations: int = 10
+    fast_odom: bool = False
+    pyramid: bool = True
+    rgb_only: bool = False
+    icp_weight: float = 10.0
+    so3_prealign: bool = True
+    dist_thresh: float = 0.10  # m, ICP correspondence gate
+    angle_thresh: float = 0.342020143  # sin(20 deg), normal agreement gate
+    max_depth_delta_rgb: float = 0.07  # m, photometric correspondence gate
+    max_depth_rgb: float = 6.0  # m
+    sobel_scale: float = 1.0 / 8.0  # 1/2^sobelSize, sobelSize=3
+    # minimum gradient magnitude per level (intensity units), RGBDOdometry.cpp:103-105
+    min_grad_magnitudes: Tuple[float, ...] = (5.0, 3.0, 1.0)
+    divergence_trans_norm: float = 0.3  # m; reject update if ||dt|| larger
+    mask_icp: bool = True  # per-model masking of the frame vmap (maskID semantics)
+    mask_rgb: bool = True  # MASK_RGB_RESIDUAL semantics
+
+    def schedule(self) -> Tuple[int, ...]:
+        if self.fast_odom:
+            return (3, 0, 0)
+        if not self.pyramid:
+            return (self.iterations[0], 0, 0)
+        return self.iterations
+
+
+@dataclasses.dataclass(frozen=True)
+class SurfelConfig:
+    """Surfel map capacities and fusion thresholds.
+
+    The reference caps each model at TEXTURE_DIMENSION^2 = 1024^2 surfels
+    (Core/Model/Model.cpp:116-126). We use an explicit capacity; the engine grows
+    through power-of-two buckets so jit caches stay warm while small maps stay fast.
+    """
+
+    max_surfels: int = 1 << 20
+    depth_cutoff: float = 3.0
+    conf_threshold: float = 10.0
+    time_delta: int = 200
+    # data association window (data.vert windowMultiplier=2 -> 4x4 neighbourhood)
+    assoc_window: int = 4
+    assoc_depth_gate: float = 0.05  # |zdiff*lambda| gate, data.vert
+    # splat footprint cap in pixels (GL point sprites are dynamically sized;
+    # we bound the footprint statically for fixed shapes)
+    splat_footprint: int = 8
+    outlier_coeff: float = 4.0
+    unstable_grace: int = 20  # frames an unstable surfel has to reach confThreshold
+    clean_see_through_gate: float = 0.03  # m, copy_unstable.vert "violation" gate
+
+
+@dataclasses.dataclass(frozen=True)
+class KeypointConfig:
+    """Sparse keypoint pipeline (SuperPoint + track table).
+
+    Track-table semantics follow reference Core/Utils/PointTracker.{hpp,cpp}:
+    fixed-capacity rows = tracks, columns = time steps (ring buffer), masks for
+    validity; descriptor matching is mutual-NN L2 with a distance gate.
+    """
+
+    max_keypoints: int = 512
+    max_tracks: int = 4096
+    track_history: int = 32  # ring-buffer length per track
+    match_dist_gate: float = 0.7
+    prune_min_kps: int = 30
+    prune_max_age_s: float = 1.0
+    detect_threshold: float = 0.015
+    nms_radius: int = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class RansacConfig:
+    """Rigid RANSAC (reference Core/Utils/RigidRANSAC.h:10-20)."""
+
+    iterations: int = 200
+    inlier_threshold: float = 0.01  # m
+    inlier_fraction: float = 0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class SegmentationConfig:
+    """Flow-CRF motion segmentation (reference Core/Segmentation/Segmentation.{h,cpp})."""
+
+    mode: str = "flow_crf"  # "flow_crf" | "precomputed" | "none"
+    scale: float = 0.25  # CRF working scale, Segmentation.cpp:768-773
+    crf_iterations: int = 10
+    max_models: int = 16
+    # flow-CRF knobs (Segmentation.cpp:742-1347)
+    sigma_depth: float = 0.03
+    velocity_threshold: float = 20.0  # px/s sparse unary gate
+    flow_ramp_lo: float = 0.2
+    flow_ramp_hi: float = 5.0
+    new_label_min_frac: float = 0.05
+    pairwise_gaussian_sigma: float = 3.0
+    pairwise_gaussian_weight: float = 3.0
+    pairwise_flow_sigma_xy: float = 40.0
+    pairwise_flow_sigma_v: float = 1.0
+    pairwise_flow_weight: float = 5.0
+    # legacy CRF knobs
+    min_rel_size_new: float = 0.07
+    max_rel_size_new: float = 0.4
+
+
+@dataclasses.dataclass(frozen=True)
+class FernConfig:
+    """Fern keyframe database (reference Core/Ferns.{h,cpp})."""
+
+    num_ferns: int = 500
+    factor: int = 8  # downsample divisor
+    max_depth: float = 7.0
+
+
+@dataclasses.dataclass(frozen=True)
+class DeformationConfig:
+    """Embedded deformation graph (reference Core/Utils/DeformationGraph.{h,cpp})."""
+
+    max_nodes: int = 1024
+    k_neighbours: int = 4
+    w_rot: float = 1.0
+    w_reg: float = 10.0
+    w_con: float = 100.0
+    iterations: int = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Top-level engine configuration (reference Core/MultiMotionFusion.h:54-60 ctor args)."""
+
+    camera: CameraModel = CameraModel()
+    odometry: OdometryConfig = OdometryConfig()
+    surfels: SurfelConfig = SurfelConfig()
+    keypoints: KeypointConfig = KeypointConfig()
+    ransac: RansacConfig = RansacConfig()
+    segmentation: SegmentationConfig = SegmentationConfig()
+    ferns: FernConfig = FernConfig()
+    deformation: DeformationConfig = DeformationConfig()
+
+    # pipeline switches (reference CLI flags, MainController.cpp:40-122)
+    odom_init: str = "kp"  # "kp" | "tf" | "" (pose initialisation source)
+    icp_refine: bool = True
+    enable_multi_model: bool = True  # False ~ "-static" ElasticFusion mode
+    enable_redetection: bool = False
+    enable_model_spawning: bool = True
+    close_loops: bool = False
+    reloc_mode: bool = False
+    frame_to_frame_rgb: bool = False
+    model_spawn_offset: int = 22
+    max_models: int = 256  # uint8 mask ids, MultiMotionFusion.cpp:983-999
+    min_inactive_surfels: int = 500  # keep-on-deactivate gate
+    export_dir: str = "."
+    seed: int = 0

@@ -1,0 +1,212 @@
+"""Image-space ops: intensity conversion, pyramids, gradients, bilateral filter.
+
+TPU re-design of the reference's CUDA image kernels (Core/Cuda/cudafuncs.cu) and
+GLSL compute passes (Core/Shaders/depth_bilateral_metric.frag). Everything is a
+pure function on [H, W] / [H, W, C] float32 arrays; invalid depth is encoded as
+0.0 (the reference mixes NaN and 0 — we normalise to 0 and keep explicit
+validity predicates `depth > 0`).
+
+All stencils are expressed as XLA convolutions / patch extractions so they fuse
+and tile well on the VPU instead of the reference's hand-rolled per-pixel loops.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# 5x5 binomial kernel used by all reference pyramid downsamples
+# (cudafuncs.cu:517-521)
+_GAUSS5 = np.outer([1.0, 4.0, 6.0, 4.0, 1.0], [1.0, 4.0, 6.0, 4.0, 1.0])
+
+# "Gaussian Sobel" derivative kernels (cudafuncs.cu computeDerivativeImages)
+_SOBEL_X = np.array(
+    [
+        [0.52201, 0.00000, -0.52201],
+        [0.79451, -0.00000, -0.79451],
+        [0.52201, 0.00000, -0.52201],
+    ],
+    dtype=np.float32,
+)
+_SOBEL_Y = _SOBEL_X.T.copy()
+
+
+def rgb_to_intensity(rgb: jnp.ndarray) -> jnp.ndarray:
+    """RGB [H,W,3] (0..255) -> intensity [H,W] float32 in 0..255.
+
+    Matches bgr2IntensityKernel (cudafuncs.cu:624-637): weights are applied in
+    BGR order to RGB channels (a reference quirk kept for behavioural parity);
+    the int truncation of the uchar store is reproduced with floor().
+    """
+    v = rgb[..., 0] * 0.114 + rgb[..., 1] * 0.299 + rgb[..., 2] * 0.587
+    return jnp.floor(v)
+
+
+def _conv2d(img: jnp.ndarray, kernel: np.ndarray, stride: int = 1) -> jnp.ndarray:
+    """Zero-padded 2D convolution (cross-correlation) of [H,W] by [k,k]."""
+    k = kernel.shape[0]
+    pad = k // 2
+    out = jax.lax.conv_general_dilated(
+        img[None, None, :, :],
+        jnp.asarray(kernel, img.dtype)[None, None, :, :],
+        window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out[0, 0]
+
+
+def pyr_down_gauss(img: jnp.ndarray, valid_gate: float = 0.0) -> jnp.ndarray:
+    """Validity-renormalised 5x5 Gaussian downsample by 2.
+
+    Mirrors pyrDownGaussKernel / pyrDownKernelIntensityGauss: taps with value
+    <= valid_gate (invalid depth / black) are excluded and the kernel mass is
+    renormalised over the remaining taps. Output pixel (x, y) is centred on
+    input (2x, 2y).
+    """
+    valid = (img > valid_gate).astype(img.dtype)
+    num = _conv2d(img * valid, _GAUSS5, stride=2)
+    den = _conv2d(valid, _GAUSS5, stride=2)
+    return jnp.where(den > 0, num / jnp.maximum(den, 1e-12), 0.0)
+
+
+def pyr_down_nearest(img: jnp.ndarray) -> jnp.ndarray:
+    """Nearest (top-left) downsample by 2 — used for label/mask images.
+
+    The reference Gaussian-averages mask bytes (pyrDownUcharGauss on masks,
+    RGBDOdometry.cpp:190) which corrupts label ids at boundaries before the
+    `mask == id` test; nearest sampling keeps ids exact and is the conservative
+    TPU-native choice.
+    """
+    return img[..., ::2, ::2]
+
+
+def build_pyramid(img: jnp.ndarray, levels: int, valid_gate: float = 0.0):
+    """List of `levels` images, level 0 = input, each subsequent halved."""
+    pyr = [img]
+    for _ in range(levels - 1):
+        pyr.append(pyr_down_gauss(pyr[-1], valid_gate))
+    return pyr
+
+
+def build_pyramid_nearest(img: jnp.ndarray, levels: int):
+    pyr = [img]
+    for _ in range(levels - 1):
+        pyr.append(pyr_down_nearest(pyr[-1]))
+    return pyr
+
+
+def sobel_gradients(intensity: jnp.ndarray):
+    """(dI/dx, dI/dy) with the reference's Gaussian-Sobel taps.
+
+    Output is in the reference's un-scaled short units; multiply by
+    OdometryConfig.sobel_scale (1/8) where the reference does (rgbStep).
+    The reference truncates to int16 — reproduced so gradient-magnitude gates
+    see identical values.
+    """
+    dx = jnp.trunc(_conv2d(intensity, _SOBEL_X))
+    dy = jnp.trunc(_conv2d(intensity, _SOBEL_Y))
+    return dx, dy
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def bilateral_depth_filter(
+    depth: jnp.ndarray,
+    max_depth: float = 20.0,
+    min_depth: float = 0.3,
+    sigma_space2_inv_half: float = 0.024691358,
+    sigma_color2_inv_half: float = 555.556,
+    radius: int = 6,
+) -> jnp.ndarray:
+    """Bilateral depth filter (depth_bilateral_metric.frag).
+
+    13x13 window, sigma_space ~ 4.5 px, sigma_color ~ 0.03 m. Pixels outside
+    [min_depth, max_depth] map to 0 (invalid). Implemented as an unrolled
+    shifted-accumulate so XLA keeps one [H, W] accumulator pair live instead of
+    materialising 169 patch planes.
+    """
+    d = radius
+    valid = (depth >= min_depth) & (depth <= max_depth)
+    base = jnp.where(valid, depth, 0.0)
+
+    sum1 = jnp.zeros_like(depth)
+    sum2 = jnp.zeros_like(depth)
+    for oy in range(-d, d + 1):
+        for ox in range(-d, d + 1):
+            shifted = _shift2d(base, oy, ox)
+            space2 = float(ox * ox + oy * oy)
+            color2 = (base - shifted) ** 2
+            w = jnp.exp(-(space2 * sigma_space2_inv_half + color2 * sigma_color2_inv_half))
+            w = jnp.where(shifted > 0, w, 0.0)
+            sum1 = sum1 + shifted * w
+            sum2 = sum2 + w
+    out = jnp.where(sum2 > 0, sum1 / jnp.maximum(sum2, 1e-12), 0.0)
+    return jnp.where(valid, out, 0.0)
+
+
+def _shift2d(img: jnp.ndarray, oy: int, ox: int) -> jnp.ndarray:
+    """Shift with zero fill: out[y, x] = img[y + oy, x + ox]."""
+    h, w = img.shape
+    padded = jnp.pad(img, ((max(0, -oy), max(0, oy)), (max(0, -ox), max(0, ox))))
+    return jax.lax.dynamic_slice(padded, (max(0, oy), max(0, ox)), (h, w))
+
+
+def gaussian_blur(img: jnp.ndarray, sigma: float, radius: int) -> jnp.ndarray:
+    """Separable Gaussian blur (used by optical flow / CRF pairwise terms)."""
+    xs = np.arange(-radius, radius + 1, dtype=np.float32)
+    k = np.exp(-(xs**2) / (2.0 * sigma**2))
+    k /= k.sum()
+    # separable: horizontal then vertical
+    kx = jnp.asarray(k, img.dtype)
+    padded = jnp.pad(img, ((0, 0), (radius, radius)))
+    out = jnp.zeros_like(img)
+    for i in range(2 * radius + 1):
+        out = out + kx[i] * jax.lax.dynamic_slice(padded, (0, i), img.shape)
+    padded = jnp.pad(out, ((radius, radius), (0, 0)))
+    out2 = jnp.zeros_like(img)
+    for i in range(2 * radius + 1):
+        out2 = out2 + kx[i] * jax.lax.dynamic_slice(padded, (i, 0), img.shape)
+    return out2
+
+
+def bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear interpolation of [H,W] or [H,W,C] at float pixel coords (x, y).
+
+    Out-of-bounds samples clamp to the border (GL_CLAMP_TO_EDGE semantics used
+    by the reference's texture fetches).
+    """
+    h, w = img.shape[:2]
+    x = jnp.clip(x, 0.0, w - 1.0)
+    y = jnp.clip(y, 0.0, h - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    fx = (x - x0.astype(img.dtype))
+    fy = (y - y0.astype(img.dtype))
+    if img.ndim == 3:
+        fx = fx[..., None]
+        fy = fy[..., None]
+    v00 = img[y0, x0]
+    v01 = img[y0, x1]
+    v10 = img[y1, x0]
+    v11 = img[y1, x1]
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
+def resize_bilinear(img: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """Resize [H,W(,C)] to out_hw with bilinear sampling (align corners=False)."""
+    oh, ow = out_hw
+    h, w = img.shape[:2]
+    ys = (jnp.arange(oh, dtype=jnp.float32) + 0.5) * (h / oh) - 0.5
+    xs = (jnp.arange(ow, dtype=jnp.float32) + 0.5) * (w / ow) - 0.5
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    return bilinear_sample(img, xx, yy)

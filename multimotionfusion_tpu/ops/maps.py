@@ -1,0 +1,133 @@
+"""Vertex/normal map generation and manipulation.
+
+TPU counterparts of the reference CUDA kernels in Core/Cuda/cudafuncs.cu:
+createVMap (:109-150), createNMap (:152-205), tranformMaps (:207-269),
+resizeVMap/resizeNMap (:367-445), verticesToDepth (:602-622),
+projectToPointCloud (:729-762).
+
+Conventions (differ from reference deliberately):
+- maps are [H, W, 3] float32 (channel-last), not three stacked row blocks;
+- invalid entries are all-zero with validity derived as `v[..., 2] > 0` for
+  vertex maps and `|n| > 0` for normal maps, instead of NaN poisoning — this
+  keeps every consumer branch-free under XLA.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from multimotionfusion_tpu.config import CameraModel
+
+
+def pixel_grid(h: int, w: int, dtype=jnp.float32):
+    """(x, y) integer pixel coordinate grids of shape [H, W]."""
+    ys = jnp.arange(h, dtype=dtype)[:, None]
+    xs = jnp.arange(w, dtype=dtype)[None, :]
+    return jnp.broadcast_to(xs, (h, w)), jnp.broadcast_to(ys, (h, w))
+
+
+def backproject(depth: jnp.ndarray, cam: CameraModel) -> jnp.ndarray:
+    """Depth [H,W] -> camera-frame points [H,W,3] (zeros stay zeros).
+
+    == projectToPointCloud (cudafuncs.cu:729-762), but keeps z=0 for invalid.
+    """
+    h, w = depth.shape
+    x, y = pixel_grid(h, w, depth.dtype)
+    px = depth * (x - cam.cx) * (1.0 / cam.fx)
+    py = depth * (y - cam.cy) * (1.0 / cam.fy)
+    return jnp.stack([px, py, depth], axis=-1)
+
+
+def create_vmap(
+    depth: jnp.ndarray,
+    cam: CameraModel,
+    depth_cutoff: float,
+    mask: jnp.ndarray | None = None,
+    mask_id: int | jnp.ndarray = 0,
+) -> jnp.ndarray:
+    """Vertex map from depth (+ optional per-model mask gating).
+
+    == createVMap (cudafuncs.cu:109-150). The reference has the mask test
+    commented out ("FIXME"); we support it behind `mask is not None` so
+    per-model masked odometry (maskID semantics) is expressible at this level.
+    """
+    valid = (depth > 0) & (depth < depth_cutoff)
+    if mask is not None:
+        valid = valid & (mask == mask_id)
+    v = backproject(jnp.where(valid, depth, 0.0), cam)
+    return jnp.where(valid[..., None], v, 0.0)
+
+
+def create_nmap(vmap: jnp.ndarray) -> jnp.ndarray:
+    """Normal map via right/down finite differences.
+
+    == createNMap (cudafuncs.cu:152-205): n = normalize((v01-v00) x (v10-v00)),
+    invalid on the last row/column or when any participant is invalid.
+    """
+    v00 = vmap
+    v01 = jnp.pad(vmap[:, 1:], ((0, 0), (0, 1), (0, 0)))
+    v10 = jnp.pad(vmap[1:], ((0, 1), (0, 0), (0, 0)))
+    valid = (v00[..., 2] > 0) & (v01[..., 2] > 0) & (v10[..., 2] > 0)
+    n = jnp.cross(v01 - v00, v10 - v00)
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n = jnp.where(norm > 1e-12, n / jnp.maximum(norm, 1e-12), 0.0)
+    return jnp.where(valid[..., None], n, 0.0)
+
+
+def transform_maps(vmap: jnp.ndarray, nmap: jnp.ndarray, T: jnp.ndarray):
+    """Rigidly transform a vertex map and rotate a normal map.
+
+    == tranformMaps (cudafuncs.cu:207-269). Invalid entries stay zero.
+    """
+    R = T[:3, :3]
+    t = T[:3, 3]
+    v_valid = vmap[..., 2:3] > 0
+    n_valid = jnp.sum(nmap * nmap, axis=-1, keepdims=True) > 0
+    v_out = jnp.einsum("ij,hwj->hwi", R, vmap) + t
+    n_out = jnp.einsum("ij,hwj->hwi", R, nmap)
+    return jnp.where(v_valid, v_out, 0.0), jnp.where(n_valid, n_out, 0.0)
+
+
+def _resize_half(m: jnp.ndarray, normalize: bool) -> jnp.ndarray:
+    """2x2 average downsample; any invalid participant invalidates the output.
+
+    == resizeMapKernel (cudafuncs.cu:367-417) with NaN -> zero-validity.
+    """
+    h, w, _ = m.shape
+    h2, w2 = h // 2, w // 2
+    m = m[: h2 * 2, : w2 * 2]
+    blocks = m.reshape(h2, 2, w2, 2, 3)
+    # validity: for vmaps z>0; for nmaps nonzero vector. Use "any nonzero channel".
+    vmask = jnp.any(blocks != 0, axis=-1)  # [h2, 2, w2, 2]
+    all_valid = jnp.all(jnp.all(vmask, axis=1), axis=-1)  # [h2, w2]
+    avg = blocks.mean(axis=(1, 3))
+    if normalize:
+        norm = jnp.linalg.norm(avg, axis=-1, keepdims=True)
+        avg = jnp.where(norm > 1e-12, avg / jnp.maximum(norm, 1e-12), 0.0)
+    return jnp.where(all_valid[..., None], avg, 0.0)
+
+
+def resize_vmap(vmap: jnp.ndarray) -> jnp.ndarray:
+    return _resize_half(vmap, normalize=False)
+
+
+def resize_nmap(nmap: jnp.ndarray) -> jnp.ndarray:
+    return _resize_half(nmap, normalize=True)
+
+
+def vertices_to_depth(vmap: jnp.ndarray, cutoff: float) -> jnp.ndarray:
+    """z channel of a vertex map, gated to (0, cutoff].
+
+    == verticesToDepthKernel (cudafuncs.cu:602-622), NaN -> 0.
+    """
+    z = vmap[..., 2]
+    return jnp.where((z > 0) & (z <= cutoff), z, 0.0)
+
+
+def project(points: jnp.ndarray, cam: CameraModel):
+    """Camera-frame points [..., 3] -> (u, v) float pixel coords."""
+    z = points[..., 2]
+    safe_z = jnp.where(z != 0, z, 1.0)
+    u = points[..., 0] * cam.fx / safe_z + cam.cx
+    v = points[..., 1] * cam.fy / safe_z + cam.cy
+    return u, v

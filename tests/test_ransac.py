@@ -1,0 +1,73 @@
+"""Mirrors the reference's only unit tests (Core/tests/ransac_test.cpp):
+random SE3, recovery via least-squares fit and via RANSAC under outliers.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+from multimotionfusion_tpu.config import RansacConfig
+from multimotionfusion_tpu.ops import ransac
+from multimotionfusion_tpu.utils import se3
+
+
+def make_problem(rng, n=64, outlier_frac=0.0, noise=0.0):
+    R = Rotation.from_rotvec(rng.normal(size=3) * 0.7).as_matrix().astype(np.float32)
+    t = rng.normal(size=3).astype(np.float32)
+    p1 = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    p0 = p1 @ R.T + t + rng.normal(size=(n, 3)).astype(np.float32) * noise
+    n_out = int(n * outlier_frac)
+    if n_out:
+        idx = rng.choice(n, size=n_out, replace=False)
+        p0[idx] += rng.uniform(0.5, 2.0, size=(n_out, 3)).astype(np.float32)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = R
+    T[:3, 3] = t
+    return jnp.asarray(p0), jnp.asarray(p1), T
+
+
+def test_kabsch_exact(rng):
+    p0, p1, T = make_problem(rng)
+    T_fit = np.asarray(ransac.kabsch_fit(p0, p1, jnp.ones(p0.shape[0])))
+    np.testing.assert_allclose(T_fit, T, atol=1e-4)
+
+
+def test_kabsch_weighted_ignores_outliers(rng):
+    p0, p1, T = make_problem(rng, outlier_frac=0.3)
+    clean = np.linalg.norm(np.asarray(p0) - (np.asarray(p1) @ T[:3, :3].T + T[:3, 3]), axis=-1) < 1e-4
+    T_fit = np.asarray(ransac.kabsch_fit(p0, p1, jnp.asarray(clean)))
+    np.testing.assert_allclose(T_fit, T, atol=1e-4)
+
+
+def test_ransac_recovers_under_outliers(rng):
+    p0, p1, T = make_problem(rng, outlier_frac=0.3, noise=0.002)
+    cfg = RansacConfig(iterations=128, inlier_threshold=0.02, inlier_fraction=0.3)
+    res = ransac.ransac_fit(jax.random.PRNGKey(0), p0, p1, jnp.ones(p0.shape[0], bool), cfg)
+    assert bool(res.ok)
+    np.testing.assert_allclose(np.asarray(res.transform), T, atol=0.02)
+    assert float(res.error) < 0.01
+    assert int(res.num_inliers) >= 35
+
+
+def test_ransac_respects_validity_mask(rng):
+    p0, p1, T = make_problem(rng, n=32)
+    # append garbage rows marked invalid
+    pad0 = jnp.concatenate([p0, jnp.full((32, 3), 1e3)], axis=0)
+    pad1 = jnp.concatenate([p1, jnp.zeros((32, 3))], axis=0)
+    valid = jnp.concatenate([jnp.ones(32, bool), jnp.zeros(32, bool)])
+    cfg = RansacConfig(iterations=64, inlier_threshold=0.01, inlier_fraction=0.5)
+    res = ransac.ransac_fit(jax.random.PRNGKey(1), pad0, pad1, valid, cfg)
+    assert bool(res.ok)
+    np.testing.assert_allclose(np.asarray(res.transform), T, atol=1e-3)
+    assert not bool(jnp.any(res.inliers[32:]))
+
+
+def test_ransac_fallback_when_degenerate(rng):
+    # pure noise: gate should fail, fallback fit returned with inf error
+    p0 = jnp.asarray(rng.uniform(-1, 1, size=(16, 3)).astype(np.float32))
+    p1 = jnp.asarray(rng.uniform(-1, 1, size=(16, 3)).astype(np.float32))
+    cfg = RansacConfig(iterations=32, inlier_threshold=1e-4, inlier_fraction=0.9)
+    res = ransac.ransac_fit(jax.random.PRNGKey(2), p0, p1, jnp.ones(16, bool), cfg)
+    assert not bool(res.ok)
+    assert np.isinf(float(res.error))
