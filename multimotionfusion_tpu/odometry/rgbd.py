@@ -1,0 +1,597 @@
+"""Dense joint ICP + photometric RGB-D odometry (Gauss-Newton, 3-level pyramid).
+
+TPU re-design of reference Core/Utils/RGBDOdometry.{h,cpp} + Core/Cuda/reduce.cu.
+
+Key behavioural parity points (cited to the reference):
+- schedule: SO(3) pre-alignment at level 2 (<=10 iters, divergence-reverted),
+  then coarse->fine GN with iterations {10,5,4} ({3,0,0} fastOdom)
+  (RGBDOdometry.cpp:239-314);
+- ICP rows: projective association curr->prev, point-to-plane residual in the
+  prev camera frame, row = [n, s x n | n.(s-d)] with dist/angle gates
+  (reduce.cu ICPReduction::search/getProducts :257-368);
+- RGB rows: inverse-depth warp correspondences (residualKernel :759-839), then
+  photometric Jacobian from Sobel gradients and the last frame's point cloud
+  with weight 1/(sigmaVal + |diff|) (RGBReduction :495-578);
+- fusion: A = A_rgbd + w^2 A_icp, b = b_rgbd + w b_icp, solved each iteration;
+  update premultiplies the running increment and the new pose is
+  prev_pose @ increment^-1 (RGBDOdometry.cpp:425-460);
+- divergence guard ||t_new - t_prev|| > 0.3 reverts (:464-467).
+
+TPU-first design differences:
+- the per-pixel 27-term outer products + tree reduction + 29-float host
+  readback per iteration (reduce.cu:331-397) are replaced by ONE [P, 7] row
+  matrix per term and a single [7, 7] = rows^T rows MXU matmul; A, b, residual
+  and count all fall out of that product's blocks — no host sync at all;
+- the 6x6 solve runs on-device in f32 with Jacobi (diagonal) preconditioning
+  instead of host double LDLT;
+- all early-exit logic is expressed as masked updates inside lax.fori_loop so
+  the whole multi-level solve is one XLA program per pyramid shape.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from multimotionfusion_tpu.config import CameraModel, OdometryConfig
+from multimotionfusion_tpu.ops import maps as mapops
+from multimotionfusion_tpu.utils import se3
+
+
+class OdometryResult(NamedTuple):
+    pose: jnp.ndarray  # [4,4] new model/camera pose
+    icp_error: jnp.ndarray  # mean sqrt residual (lastICPError)
+    icp_count: jnp.ndarray  # inlier count (lastICPCount)
+    rgb_error: jnp.ndarray
+    rgb_count: jnp.ndarray
+    so3_error: jnp.ndarray
+    so3_count: jnp.ndarray
+    A: jnp.ndarray  # [6,6] last fused normal matrix (covariance = inv(A))
+    b: jnp.ndarray  # [6]
+    icp_error_image: jnp.ndarray  # [H,W] level-0 per-pixel ICP distance (segmentation input)
+    rgb_error_image: jnp.ndarray  # [H,W] level-0 0.001*diff^2 (segmentation input)
+
+
+class LevelData(NamedTuple):
+    """Per-pyramid-level inputs for one model's tracking."""
+
+    vmap_curr: jnp.ndarray  # [H,W,3] current frame vertices (camera frame)
+    nmap_curr: jnp.ndarray  # [H,W,3]
+    vmap_prev: jnp.ndarray  # [H,W,3] predicted model vertices (GLOBAL frame)
+    nmap_prev: jnp.ndarray  # [H,W,3] (global frame)
+    depth_last: jnp.ndarray  # [H,W] prediction depth (m)
+    depth_next: jnp.ndarray  # [H,W] frame depth (m)
+    img_last: jnp.ndarray  # [H,W] prediction intensity 0..255
+    img_next: jnp.ndarray  # [H,W] frame intensity
+    mask_next: jnp.ndarray  # [H,W] frame mask ids (int32)
+    didx: jnp.ndarray  # [H,W] Sobel d/dx of img_next
+    didy: jnp.ndarray  # [H,W]
+
+
+def _gather_img(img: jnp.ndarray, v: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """Gather img[v, u] with clamped indices (callers gate validity)."""
+    h, w = img.shape[:2]
+    v = jnp.clip(v, 0, h - 1)
+    u = jnp.clip(u, 0, w - 1)
+    return img[v, u]
+
+
+def _system_from_rows(rows: jnp.ndarray) -> jnp.ndarray:
+    """[P, 7] Jacobian|residual rows -> [7, 7] normal system via one MXU matmul."""
+    return jax.lax.dot_general(
+        rows,
+        rows,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def solve_preconditioned(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve A x = b (SPD-ish) in f32 with Jacobi preconditioning.
+
+    Replaces the reference's host-side double LDLT (RGBDOdometry.cpp:435):
+    D^-1/2 A D^-1/2 y = D^-1/2 b keeps the 6x6 solve well-conditioned in f32
+    because ICP/RGB blocks have wildly different scales.
+    """
+    d = jnp.sqrt(jnp.clip(jnp.diagonal(A), 1e-12))
+    dinv = 1.0 / d
+    Ah = A * dinv[:, None] * dinv[None, :]
+    bh = b * dinv
+    # tiny Tikhonov for rank-deficient scenes (textureless walls)
+    Ah = Ah + jnp.eye(A.shape[0], dtype=A.dtype) * 1e-6
+    y = jnp.linalg.solve(Ah, bh)
+    x = y * dinv
+    return jnp.where(jnp.all(jnp.isfinite(x)), x, jnp.zeros_like(x))
+
+
+def icp_system(
+    T_wc: jnp.ndarray,
+    T_prev: jnp.ndarray,
+    vmap_curr: jnp.ndarray,
+    nmap_curr: jnp.ndarray,
+    vmap_prev_g: jnp.ndarray,
+    nmap_prev_g: jnp.ndarray,
+    cam: CameraModel,
+    dist_thresh: float,
+    angle_thresh: float,
+):
+    """Point-to-plane ICP normal system at one pyramid level.
+
+    Mirrors ICPReduction (reduce.cu:231-397). Returns ([7,7] system, [H,W]
+    error image). System block layout: A = S[:6,:6], b = S[:6,6],
+    sum r^2 = S[6,6]; the count is accumulated separately.
+    """
+    h, w = vmap_curr.shape[:2]
+    R_curr = T_wc[:3, :3]
+    t_curr = T_wc[:3, 3]
+    R_prev_inv = T_prev[:3, :3].T
+    t_prev = T_prev[:3, 3]
+
+    v_valid = vmap_curr[..., 2] > 0
+    vcurr_g = jnp.einsum("ij,hwj->hwi", R_curr, vmap_curr) + t_curr
+    vcurr_cp = jnp.einsum("ij,hwj->hwi", R_prev_inv, vcurr_g - t_prev)
+
+    z = vcurr_cp[..., 2]
+    safe_z = jnp.where(z != 0, z, 1.0)
+    u = jnp.rint(vcurr_cp[..., 0] * cam.fx / safe_z + cam.cx).astype(jnp.int32)
+    v = jnp.rint(vcurr_cp[..., 1] * cam.fy / safe_z + cam.cy).astype(jnp.int32)
+    in_bounds = (u >= 0) & (v >= 0) & (u < w) & (v < h) & (z > 0) & v_valid
+
+    vprev_g = _gather_img(vmap_prev_g, v, u)
+    nprev_g = _gather_img(nmap_prev_g, v, u)
+
+    ncurr_g = jnp.einsum("ij,hwj->hwi", R_curr, nmap_curr)
+    dist = jnp.linalg.norm(vprev_g - vcurr_g, axis=-1)
+    sine = jnp.linalg.norm(jnp.cross(ncurr_g, nprev_g), axis=-1)
+
+    ncurr_valid = jnp.sum(nmap_curr * nmap_curr, axis=-1) > 0
+    nprev_valid = jnp.sum(nprev_g * nprev_g, axis=-1) > 0
+
+    found = (
+        in_bounds
+        & (sine < angle_thresh)
+        & (dist <= dist_thresh)
+        & ncurr_valid
+        & nprev_valid
+    )
+
+    # rows built in the PREV camera frame (reduce.cu:320-329)
+    s_cp = jnp.einsum("ij,hwj->hwi", R_prev_inv, vcurr_g - t_prev)
+    d_cp = jnp.einsum("ij,hwj->hwi", R_prev_inv, vprev_g - t_prev)
+    n_cp = jnp.einsum("ij,hwj->hwi", R_prev_inv, nprev_g)
+
+    r = jnp.sum(n_cp * (s_cp - d_cp), axis=-1)
+    rows = jnp.concatenate(
+        [n_cp, jnp.cross(s_cp, n_cp), r[..., None]], axis=-1
+    )  # [H,W,7]
+    rows = jnp.where(found[..., None], rows, 0.0).reshape(-1, 7)
+
+    S = _system_from_rows(rows)
+    count = jnp.sum(found)
+    # error image semantics (reduce.cu:275-299): 0 outside bounds, dist inside
+    err_img = jnp.where(in_bounds, jnp.where(jnp.isfinite(dist), dist, 0.0), 0.0)
+    return S, count, err_img
+
+
+def rgb_correspondences(
+    level: LevelData,
+    KRK_inv: jnp.ndarray,
+    Kt: jnp.ndarray,
+    min_scale: float,
+    max_depth_delta: float,
+    cam: CameraModel,
+    mask_id,
+    use_mask: bool,
+):
+    """Photometric correspondence field (residualKernel, reduce.cu:759-839).
+
+    Returns (valid [H,W], u0, v0 [H,W] int32 coords in the last image,
+    diff [H,W], sigma_sum scalar, count scalar, error image).
+    """
+    h, w = level.img_next.shape
+    xg = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
+    yg = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
+
+    # 4x4 neighbourhood validity: nextImage > 0 (and mask agreement)
+    ok = level.img_next > 0
+    if use_mask:
+        ok = ok & (level.mask_next == mask_id)
+    okf = ok.astype(jnp.float32)
+    # window u in [i-2, i+2), v in [j-2, j+2) (reference bounds, :777-788);
+    # at image borders the reference clamps the window, i.e. requires all
+    # IN-BOUNDS taps valid — divide by the in-bounds tap count.
+    window = jnp.ones((4, 4), jnp.float32)
+
+    def win_sum(x):
+        return jax.lax.conv_general_dilated(
+            x[None, None],
+            window[None, None],
+            window_strides=(1, 1),
+            padding=((2, 1), (2, 1)),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )[0, 0]
+
+    neigh = win_sum(okf)
+    tap_count = win_sum(jnp.ones_like(okf))
+    valid = neigh >= tap_count - 1e-3
+    valid = valid & (xg < w - 5) & (yg < h - 1)
+
+    m2 = level.didx**2 + level.didy**2
+    valid = valid & (m2 >= min_scale)
+
+    d1 = level.depth_next
+    valid = valid & (d1 > 0)
+
+    td1 = d1 * (KRK_inv[2, 0] * xg + KRK_inv[2, 1] * yg + KRK_inv[2, 2]) + Kt[2]
+    safe_td1 = jnp.where(td1 != 0, td1, 1.0)
+    u0 = jnp.rint(
+        (d1 * (KRK_inv[0, 0] * xg + KRK_inv[0, 1] * yg + KRK_inv[0, 2]) + Kt[0])
+        / safe_td1
+    ).astype(jnp.int32)
+    v0 = jnp.rint(
+        (d1 * (KRK_inv[1, 0] * xg + KRK_inv[1, 1] * yg + KRK_inv[1, 2]) + Kt[1])
+        / safe_td1
+    ).astype(jnp.int32)
+    inb = (u0 >= 0) & (v0 >= 0) & (u0 < w) & (v0 < h)
+    valid = valid & inb
+
+    d0 = _gather_img(level.depth_last, v0, u0)
+    img0 = _gather_img(level.img_last, v0, u0)
+    valid = valid & (d0 > 0) & (jnp.abs(td1 - d0) <= max_depth_delta) & (img0 != 0)
+
+    diff = jnp.where(valid, level.img_next - img0, 0.0)
+    sigma = jnp.sum(diff * diff)
+    count = jnp.sum(valid)
+    err_img = jnp.where(valid, 0.001 * diff * diff, 0.0)
+    return valid, u0, v0, diff, sigma, count, err_img
+
+
+def rgb_system(
+    valid: jnp.ndarray,
+    u0: jnp.ndarray,
+    v0: jnp.ndarray,
+    diff: jnp.ndarray,
+    sigma_val: jnp.ndarray,
+    cloud_last: jnp.ndarray,
+    didx: jnp.ndarray,
+    didy: jnp.ndarray,
+    cam: CameraModel,
+    sobel_scale: float,
+):
+    """Photometric normal system (RGBReduction, reduce.cu:495-578)."""
+    w_raw = sigma_val + jnp.abs(diff)
+    w = jnp.where(w_raw > 1.19209290e-7, 1.0 / w_raw, 1.0)
+    w = jnp.where(sigma_val == -1.0, 1.0, w)
+
+    cp = _gather_img(cloud_last, v0, u0)  # [H,W,3] last-frame cloud at corresp.zero
+    z = cp[..., 2]
+    invz = jnp.where(z != 0, 1.0 / jnp.where(z != 0, z, 1.0), 0.0)
+    dI_dx = w * sobel_scale * didx  # gradients at corresp.one == this pixel
+    dI_dy = w * sobel_scale * didy
+    v0c = dI_dx * cam.fx * invz
+    v1c = dI_dy * cam.fy * invz
+    v2c = -(v0c * cp[..., 0] + v1c * cp[..., 1]) * invz
+
+    rows = jnp.stack(
+        [
+            v0c,
+            v1c,
+            v2c,
+            -cp[..., 2] * v1c + cp[..., 1] * v2c,
+            cp[..., 2] * v0c - cp[..., 0] * v2c,
+            -cp[..., 1] * v0c + cp[..., 0] * v1c,
+            -w * diff,
+        ],
+        axis=-1,
+    )
+    rows = jnp.where(valid[..., None], rows, 0.0).reshape(-1, 7)
+    return _system_from_rows(rows)
+
+
+def so3_system(
+    last_img: jnp.ndarray,
+    next_img: jnp.ndarray,
+    image_basis: jnp.ndarray,
+    kinv: jnp.ndarray,
+    krlr: jnp.ndarray,
+):
+    """Rotation-only photometric system (SO3Reduction, reduce.cu:947-1085).
+
+    Returns ([4,4] system over [3 jac | residual], count).
+    """
+    h, w = last_img.shape
+    xg = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
+    yg = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
+
+    px = image_basis[0, 0] * xg + image_basis[0, 1] * yg + image_basis[0, 2]
+    py = image_basis[1, 0] * xg + image_basis[1, 1] * yg + image_basis[1, 2]
+    pz = image_basis[2, 0] * xg + image_basis[2, 1] * yg + image_basis[2, 2]
+    safe_pz = jnp.where(pz != 0, pz, 1.0)
+    wu = jnp.rint(px / safe_pz).astype(jnp.int32)
+    wv = jnp.rint(py / safe_pz).astype(jnp.int32)
+
+    found = (
+        (wu >= 1)
+        & (wu < w - 1)
+        & (wv >= 1)
+        & (wv < h - 1)
+        & (xg >= 1)
+        & (xg < w - 1)
+        & (yg >= 1)
+        & (yg < h - 1)
+    )
+
+    def grad(img, v, u):
+        gx = (_gather_img(img, v, u - 1) - _gather_img(img, v, u + 1)) * 0.5
+        gy = (_gather_img(img, v - 1, u) - _gather_img(img, v + 1, u)) * 0.5
+        return gx, gy
+
+    xi = xg.astype(jnp.int32)
+    yi = yg.astype(jnp.int32)
+    gnx, gny = grad(next_img, wv, wu)
+    glx, gly = grad(last_img, yi, xi)
+    gx = (gnx + glx) * 0.5
+    gy = (gny + gly) * 0.5
+
+    # point = K^-1 [x, y, 1]
+    pt = jnp.stack(
+        [
+            kinv[0, 0] * xg + kinv[0, 1] * yg + kinv[0, 2],
+            kinv[1, 0] * xg + kinv[1, 1] * yg + kinv[1, 2],
+            kinv[2, 0] * xg + kinv[2, 1] * yg + kinv[2, 2],
+        ],
+        axis=-1,
+    )
+    z2 = pt[..., 2] ** 2
+    a, b_, c = krlr[0, 0], krlr[0, 1], krlr[0, 2]
+    d, e, f = krlr[1, 0], krlr[1, 1], krlr[1, 2]
+    g, h_, i_ = krlr[2, 0], krlr[2, 1], krlr[2, 2]
+    left = jnp.stack(
+        [
+            (pt[..., 2] * (d * gy + a * gx) - gy * g * yg - gx * g * xg) / z2,
+            (pt[..., 2] * (e * gy + b_ * gx) - gy * h_ * yg - gx * h_ * xg) / z2,
+            (pt[..., 2] * (f * gy + c * gx) - gy * i_ * yg - gx * i_ * xg) / z2,
+        ],
+        axis=-1,
+    )
+    jac = jnp.cross(left, pt)
+    resid = -(_gather_img(next_img, wv, wu) - last_img)
+
+    rows = jnp.concatenate([jac, resid[..., None]], axis=-1)
+    rows = jnp.where(found[..., None], rows, 0.0).reshape(-1, 4)
+    S = jax.lax.dot_general(
+        rows, rows, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return S, jnp.sum(found)
+
+
+def _K(cam: CameraModel) -> jnp.ndarray:
+    return jnp.array(
+        [[cam.fx, 0.0, cam.cx], [0.0, cam.fy, cam.cy], [0.0, 0.0, 1.0]],
+        jnp.float32,
+    )
+
+
+def _K_inv(cam: CameraModel) -> jnp.ndarray:
+    return jnp.array(
+        [
+            [1.0 / cam.fx, 0.0, -cam.cx / cam.fx],
+            [0.0, 1.0 / cam.fy, -cam.cy / cam.fy],
+            [0.0, 0.0, 1.0],
+        ],
+        jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "cam"))
+def get_incremental_transformation(
+    T_prev: jnp.ndarray,
+    levels: Sequence[LevelData],
+    last_next_img_l2: jnp.ndarray,
+    cfg: OdometryConfig,
+    cam: CameraModel,
+    mask_id: jnp.ndarray | int = 0,
+) -> OdometryResult:
+    """Full multi-level GN odometry solve as one XLA program.
+
+    T_prev: previous pose (model/camera -> global). levels: per-level inputs,
+    index 0 = finest. last_next_img_l2: previous frame's level-2 intensity for
+    SO(3) pre-alignment (reference swaps lastNextImage each frame).
+    Mirrors RGBDOdometry::getIncrementalTransformation (RGBDOdometry.cpp:217-477).
+    """
+    use_icp = (not cfg.rgb_only) and cfg.icp_weight > 0
+    use_rgb = cfg.rgb_only or cfg.icp_weight < 100
+
+    f32 = jnp.float32
+    T_prev = T_prev.astype(f32)
+
+    # ---- SO(3) pre-alignment at the coarsest level ----------------------
+    so3_err = jnp.array(0.0, f32)
+    so3_count = jnp.array(0.0, f32)
+    resultR = jnp.eye(3, dtype=f32)
+    if cfg.so3_prealign and cfg.so3_iterations > 0:
+        lvl = cfg.num_pyr - 1
+        cam_l = cam.level(lvl)
+        K = _K(cam_l)
+        Kinv = _K_inv(cam_l)
+        big = jnp.array(3.4e38 / 2, f32)
+
+        def so3_body(_, carry):
+            R, last_err, last_count, last_R, done, fin_err, fin_count = carry
+            basis = K @ R @ Kinv
+            krlr = K @ R
+            S, cnt = so3_system(last_next_img_l2, levels[lvl].img_next, basis, Kinv, krlr)
+            cntf = cnt.astype(f32)
+            err = jnp.sqrt(S[3, 3]) / jnp.maximum(cntf, 1.0)
+
+            # reference convergence formula kept verbatim (RGBDOdometry.cpp:285),
+            # including its error-vs-count comparison
+            converged = (err < last_err) & (jnp.abs(last_err - cntf) < 0.001)
+            diverging = err > last_err + 0.001
+
+            delta = solve_preconditioned(S[:3, :3], S[:3, 3])
+            R_new = se3.so3_exp(delta) @ R
+
+            # converged: keep R (break before update); diverging: revert to last_R
+            R_out = jnp.where(done | converged, R, jnp.where(diverging, last_R, R_new))
+            fin_err_out = jnp.where(done, fin_err, jnp.where(diverging, last_err, err))
+            fin_count_out = jnp.where(
+                done, fin_count, jnp.where(diverging, last_count, cntf)
+            )
+            return (
+                R_out,
+                jnp.where(done, last_err, err),
+                jnp.where(done, last_count, cntf),
+                jnp.where(done, last_R, R),
+                done | converged | diverging,
+                fin_err_out,
+                fin_count_out,
+            )
+
+        init = (resultR, big, big, jnp.eye(3, dtype=f32), jnp.array(False), so3_err, so3_count)
+        out = jax.lax.fori_loop(0, cfg.so3_iterations, so3_body, init)
+        resultR, _, _, _, _, so3_err, so3_count = out
+
+    result_Rt = jnp.eye(4, dtype=f32).at[:3, :3].set(resultR)
+
+    # ---- coarse-to-fine joint GN ---------------------------------------
+    schedule = cfg.schedule()
+    R_prev_inv_T = se3.inverse_T(T_prev)
+
+    icp_err = jnp.array(0.0, f32)
+    icp_count = jnp.array(0.0, f32)
+    rgb_err = jnp.array(0.0, f32)
+    rgb_count = jnp.array(0.0, f32)
+    lastA = jnp.zeros((6, 6), f32)
+    lastb = jnp.zeros((6,), f32)
+    icp_err_img = jnp.zeros(levels[0].img_next.shape, f32)
+    rgb_err_img = jnp.zeros(levels[0].img_next.shape, f32)
+
+    for i in range(cfg.num_pyr - 1, -1, -1):
+        iters = schedule[i]
+        if iters == 0:
+            continue
+        cam_l = cam.level(i)
+        K = _K(cam_l)
+        Kinv = _K_inv(cam_l)
+        level = levels[i]
+        cloud_last = None
+        if use_rgb:
+            # projectToPointCloud on lastDepth (RGBDOdometry.cpp:333)
+            cloud_last = mapops.backproject(level.depth_last, cam_l)
+        # minScale = (minGradMag^2) / sobelScale^2 (RGBDOdometry.cpp:365)
+        min_scale = (cfg.min_grad_magnitudes[i] ** 2) / (cfg.sobel_scale**2)
+
+        def level_body(j, carry, level=level, cam_l=cam_l, K=K, Kinv=Kinv,
+                       cloud_last=cloud_last, min_scale=min_scale, i=i, iters=iters):
+            (result_Rt, icp_err, icp_count, rgb_err, rgb_count, lastA, lastb,
+             last_rgb_err, stopped, icp_img, rgb_img) = carry
+
+            Rt_inv = se3.inverse_T(result_Rt)
+            KRK_inv = K @ Rt_inv[:3, :3] @ Kinv
+            Kt = K @ Rt_inv[:3, 3]
+
+            sigma = jnp.array(0.0, f32)
+            rgb_size = jnp.array(0.0, f32)
+            S_rgb = jnp.zeros((7, 7), f32)
+            rgb_img_new = rgb_img
+            if use_rgb:
+                valid, u0, v0, diff, sigma, cnt, err_img = rgb_correspondences(
+                    level, KRK_inv, Kt, min_scale, cfg.max_depth_delta_rgb,
+                    cam_l, mask_id, cfg.mask_rgb,
+                )
+                rgb_size = cnt.astype(f32)
+                if i == 0:
+                    rgb_img_new = err_img
+                tmp_err = jnp.sqrt(sigma) / jnp.maximum(rgb_size, 1.0)
+                sigma_val = jnp.where(tmp_err == 0, 1.0, rgb_size)
+                if cfg.rgb_only:
+                    sigma_val = jnp.full_like(sigma_val, -1.0)
+                    stopped = stopped | (tmp_err > last_rgb_err)
+                S_rgb = rgb_system(
+                    valid, u0, v0, diff, sigma_val, cloud_last,
+                    level.didx, level.didy, cam_l, cfg.sobel_scale,
+                )
+            else:
+                tmp_err = jnp.array(0.0, f32)
+
+            # current global pose estimate: T_prev @ result_Rt^-1
+            T_cur = T_prev @ se3.inverse_T(result_Rt)
+
+            S_icp = jnp.zeros((7, 7), f32)
+            icp_cnt = jnp.array(0, jnp.int32)
+            icp_img_new = icp_img
+            if use_icp:
+                S_icp, icp_cnt, err_img_icp = icp_system(
+                    T_cur, T_prev, level.vmap_curr, level.nmap_curr,
+                    level.vmap_prev, level.nmap_prev, cam_l,
+                    cfg.dist_thresh, cfg.angle_thresh,
+                )
+                if i == 0:
+                    icp_img_new = err_img_icp
+
+            A_icp, b_icp = S_icp[:6, :6], S_icp[:6, 6]
+            A_rgbd, b_rgbd = S_rgb[:6, :6], S_rgb[:6, 6]
+            if use_icp and use_rgb:
+                w = cfg.icp_weight
+                A = A_rgbd + w * w * A_icp
+                b = b_rgbd + w * b_icp
+            elif use_icp:
+                A, b = A_icp, b_icp
+            else:
+                A, b = A_rgbd, b_rgbd
+
+            x = solve_preconditioned(A, b)
+            Rt_new = se3.gn_update_pose(result_Rt, x)
+
+            upd = ~stopped
+            result_Rt = jnp.where(upd, Rt_new, result_Rt)
+            icp_err_new = jnp.sqrt(S_icp[6, 6]) / jnp.maximum(icp_cnt.astype(f32), 1.0)
+            return (
+                result_Rt,
+                jnp.where(upd & use_icp, icp_err_new, icp_err),
+                jnp.where(upd & use_icp, icp_cnt.astype(f32), icp_count),
+                jnp.where(upd, tmp_err, rgb_err),
+                jnp.where(upd, rgb_size, rgb_count),
+                jnp.where(upd, A, lastA),
+                jnp.where(upd, b, lastb),
+                jnp.where(upd, tmp_err, last_rgb_err),
+                stopped,
+                jnp.where(upd, icp_img_new, icp_img) if i == 0 else icp_img,
+                jnp.where(upd, rgb_img_new, rgb_img) if i == 0 else rgb_img,
+            )
+
+        carry = (
+            result_Rt, icp_err, icp_count, rgb_err, rgb_count, lastA, lastb,
+            jnp.array(3.4e38, f32), jnp.array(False), icp_err_img, rgb_err_img,
+        )
+        carry = jax.lax.fori_loop(0, iters, level_body, carry)
+        (result_Rt, icp_err, icp_count, rgb_err, rgb_count, lastA, lastb,
+         _, _, icp_err_img, rgb_err_img) = carry
+
+    T_new = T_prev @ se3.inverse_T(result_Rt)
+
+    # RGB divergence guard (RGBDOdometry.cpp:464-467)
+    if use_rgb:
+        diverged = jnp.linalg.norm(T_new[:3, 3] - T_prev[:3, 3]) > cfg.divergence_trans_norm
+        T_new = jnp.where(diverged, T_prev, T_new)
+
+    return OdometryResult(
+        pose=T_new,
+        icp_error=icp_err,
+        icp_count=icp_count,
+        rgb_error=rgb_err,
+        rgb_count=rgb_count,
+        so3_error=so3_err,
+        so3_count=so3_count,
+        A=lastA,
+        b=lastb,
+        icp_error_image=icp_err_img,
+        rgb_error_image=rgb_err_img,
+    )

@@ -22,12 +22,15 @@ import numpy as np
 # (cudafuncs.cu:517-521)
 _GAUSS5 = np.outer([1.0, 4.0, 6.0, 4.0, 1.0], [1.0, 4.0, 6.0, 4.0, 1.0])
 
-# "Gaussian Sobel" derivative kernels (cudafuncs.cu computeDerivativeImages)
+# "Gaussian Sobel" derivative kernels (cudafuncs.cu computeDerivativeImages).
+# The reference applies its kernel with a DECREMENTING index (true convolution);
+# XLA convs are cross-correlations, so the antisymmetric kernels are negated to
+# give the same positive-rightward/downward gradient sign.
 _SOBEL_X = np.array(
     [
-        [0.52201, 0.00000, -0.52201],
-        [0.79451, -0.00000, -0.79451],
-        [0.52201, 0.00000, -0.52201],
+        [-0.52201, 0.00000, 0.52201],
+        [-0.79451, 0.00000, 0.79451],
+        [-0.52201, 0.00000, 0.52201],
     ],
     dtype=np.float32,
 )

@@ -37,8 +37,8 @@ def test_sobel_on_ramp():
     dx, dy = imops.sobel_gradients(jnp.asarray(img))
     dx, dy = np.asarray(dx), np.asarray(dy)
     interior = (slice(2, -2), slice(2, -2))
-    # kernel x-response on unit ramp: -(0.52201*2+0.79451)*2 = -3.67706 -> trunc -3
-    np.testing.assert_allclose(dx[interior], -3.0, atol=1e-4)
+    # kernel x-response on unit ramp: (0.52201*2+0.79451)*2 = 3.67706 -> trunc 3
+    np.testing.assert_allclose(dx[interior], 3.0, atol=1e-4)
     np.testing.assert_allclose(dy[interior], 0.0, atol=1e-4)
 
 
