@@ -1,0 +1,237 @@
+"""Point rasterisation of surfel maps on TPU.
+
+Replaces two OpenGL render passes of the reference with scatter/gather
+programs:
+
+- ``predict_indices`` == the index-map render (reference
+  Core/Model/ModelProjection.cpp:105-157 + Core/Shaders/index_map.vert/.frag):
+  per-pixel id of the front-most surfel, used by fuse/clean for data
+  association. GL's depth test becomes a two-pass scatter-min (depth first,
+  then lowest surfel id among exact-depth ties), which is deterministic —
+  unlike GL, where ties are rasteriser-order dependent.
+
+- ``splat_predict`` == the surfel splatting render (ModelProjection.cpp:192-273
+  + Core/Shaders/splat.vert / combo_splat.frag): predicted colour / vertex+conf
+  / normal+radius / time maps. GL draws each surfel as a screen-aligned point
+  sprite sized by its projected radius and lets the ROP depth-test fragments;
+  here every surfel scatters only its centre pixel, then a dense KxK
+  neighbourhood-resolve pass re-derives each pixel's covering surfel by
+  ray-disk intersection (the same test combo_splat.frag runs per fragment).
+  That turns millions of scattered fragments into K^2 vectorised image-shaped
+  gathers — the shape XLA/TPU wants — at the cost of capping the splat
+  footprint at K pixels (GL point sprites are hardware-capped too).
+
+Surfel attributes enter in the *camera frame* (callers pre-transform with
+``surfel_map.transform_surfels(data, inv(pose))``), matching index_map.vert
+which emits t_inv-transformed attributes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from multimotionfusion_tpu.config import CameraModel
+from multimotionfusion_tpu.model import surfel_map as sm
+
+INVALID = jnp.int32(-1)
+_BIG = jnp.float32(3.4e38)
+
+
+class IndexMap(NamedTuple):
+    index: jnp.ndarray  # [H*scale, W*scale] int32 surfel id, -1 = none
+    data_local: jnp.ndarray  # [CHANNELS, capacity] camera-frame surfel attributes
+
+    def gather(self, channel) -> jnp.ndarray:
+        """Image of one attribute channel (or slice) at the winning surfel;
+        zeros where no surfel. Returns [H, W] or [H, W, C]."""
+        ch = self.data_local[channel]
+        safe = jnp.maximum(self.index, 0)
+        img = jnp.take(ch, safe, axis=-1)  # [C?, H, W]
+        if img.ndim == 3:
+            img = jnp.moveaxis(img, 0, -1)
+            return jnp.where((self.index >= 0)[..., None], img, 0.0)
+        return jnp.where(self.index >= 0, img, 0.0)
+
+
+def _project_pixels(data_local: jnp.ndarray, cam: CameraModel, scale: int):
+    """Project camera-frame surfel centres to integer pixels at `scale`."""
+    x, y, z = data_local[sm.PX], data_local[sm.PY], data_local[sm.PZ]
+    safe_z = jnp.where(z > 0, z, 1.0)
+    u = jnp.rint(scale * (x * cam.fx / safe_z + cam.cx)).astype(jnp.int32)
+    v = jnp.rint(scale * (y * cam.fy / safe_z + cam.cy)).astype(jnp.int32)
+    inb = (u >= 0) & (v >= 0) & (u < cam.width * scale) & (v < cam.height * scale)
+    return u, v, inb
+
+
+def _zmin_scatter(u, v, z, valid, h: int, w: int):
+    """Front-most valid surfel per pixel. Returns (index [H,W] or -1, zmin)."""
+    n = z.shape[0]
+    pix = jnp.where(valid, v * w + u, h * w)  # invalid -> scratch bin
+    zs = jnp.where(valid, z, _BIG)
+    zmin = jnp.full((h * w + 1,), _BIG, jnp.float32).at[pix].min(zs)
+    won = valid & (zs == zmin[pix])
+    ids = jnp.arange(n, dtype=jnp.int32)
+    idx = (
+        jnp.full((h * w + 1,), jnp.int32(2**31 - 1))
+        .at[jnp.where(won, pix, h * w)]
+        .min(ids)
+    )
+    idx = jnp.where(zmin[: h * w] < _BIG, idx[: h * w], INVALID)
+    return idx.reshape(h, w), zmin[: h * w].reshape(h, w)
+
+
+def predict_indices(
+    smap: sm.SurfelMap,
+    pose: jnp.ndarray,  # [4,4] model pose (camera -> global)
+    cam: CameraModel,
+    time,
+    time_delta,
+    max_depth: float,
+    scale: int = 1,
+) -> IndexMap:
+    """Data-association index map (index_map.vert gates: 0 < z <= maxDepth and
+    time - last_update <= timeDelta; note: no confidence gate)."""
+    from multimotionfusion_tpu.utils import se3
+
+    data_local = sm.transform_surfels(smap.data, se3.inverse_T(pose))
+    z = data_local[sm.PZ]
+    ok = (
+        smap.alive_mask()
+        & (z > 0)
+        & (z <= max_depth)
+        & (time - data_local[sm.LAST_T] <= time_delta)
+    )
+    u, v, inb = _project_pixels(data_local, cam, scale)
+    idx, _ = _zmin_scatter(u, v, z, ok & inb, cam.height * scale, cam.width * scale)
+    return IndexMap(index=idx, data_local=data_local)
+
+
+class PredictedMaps(NamedTuple):
+    """== the combinedPredict outputs (ModelProjection.h:83-114)."""
+
+    color: jnp.ndarray  # [H, W, 3] 0..255, zeros where empty
+    vertex_conf: jnp.ndarray  # [H, W, 4] camera-frame vertex + confidence
+    normal_rad: jnp.ndarray  # [H, W, 4] camera-frame normal + radius
+    time: jnp.ndarray  # [H, W] int32 init time of covering surfel
+    valid: jnp.ndarray  # [H, W] bool
+
+
+def splat_predict(
+    smap: sm.SurfelMap,
+    pose: jnp.ndarray,
+    cam: CameraModel,
+    conf_threshold,
+    time,
+    max_time,
+    time_delta,
+    max_depth: float,
+    window: int = 5,
+) -> PredictedMaps:
+    """Surfel splatting (splat.vert gates + combo_splat.frag ray-disk resolve).
+
+    Gates (splat.vert:40): drop if z > maxDepth, z < 0, conf < confThreshold,
+    time - last_update > timeDelta, or last_update > maxTime. The active /
+    inactive ("old") prediction variants of the reference are this function
+    called with different (time, max_time, time_delta) windows.
+    """
+    from multimotionfusion_tpu.utils import se3
+
+    h, w = cam.height, cam.width
+    data_local = sm.transform_surfels(smap.data, se3.inverse_T(pose))
+    z = data_local[sm.PZ]
+    ok = (
+        smap.alive_mask()
+        & (z > 0)
+        & (z <= max_depth)
+        & (data_local[sm.CONF] >= conf_threshold)
+        & (time - data_local[sm.LAST_T] <= time_delta)
+        & (data_local[sm.LAST_T] <= max_time)
+    )
+    u, v, inb = _project_pixels(data_local, cam, 1)
+    centre_idx, _ = _zmin_scatter(u, v, z, ok & inb, h, w)
+
+    # --- neighbourhood resolve (combo_splat.frag) -------------------------
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    lx = (xs - cam.cx) / cam.fx
+    ly = (ys - cam.cy) / cam.fy
+    lnorm = jnp.sqrt(lx * lx + ly * ly + 1.0)
+    l0, l1, l2 = lx / lnorm, ly / lnorm, 1.0 / lnorm  # unit pixel ray
+
+    px, py, pz = data_local[sm.PX], data_local[sm.PY], data_local[sm.PZ]
+    nx, ny, nz = data_local[sm.NX], data_local[sm.NY], data_local[sm.NZ]
+    rad = data_local[sm.RADIUS]
+
+    best_z = jnp.full((h, w), _BIG)
+    best_idx = jnp.full((h, w), INVALID)
+    r = window // 2
+    for dy in range(-r, window - r):
+        for dx in range(-r, window - r):
+            cand = jnp.roll(centre_idx, (-dy, -dx), axis=(0, 1))
+            # border rolls wrap; invalidate wrapped rows/cols
+            if dy > 0:
+                cand = cand.at[h - dy :, :].set(INVALID)
+            elif dy < 0:
+                cand = cand.at[: -dy, :].set(INVALID)
+            if dx > 0:
+                cand = cand.at[:, w - dx :].set(INVALID)
+            elif dx < 0:
+                cand = cand.at[:, : -dx].set(INVALID)
+            cvalid = cand >= 0
+            s = jnp.maximum(cand, 0)
+            cpx, cpy, cpz = jnp.take(px, s), jnp.take(py, s), jnp.take(pz, s)
+            cnx, cny, cnz = jnp.take(nx, s), jnp.take(ny, s), jnp.take(nz, s)
+            crad = jnp.take(rad, s)
+            # ray-plane intersection: t = dot(p, n) / dot(l, n); hit = t * l
+            ln = l0 * cnx + l1 * cny + l2 * cnz
+            pn = cpx * cnx + cpy * cny + cpz * cnz
+            t = pn / jnp.where(jnp.abs(ln) > 1e-12, ln, 1e-12)
+            hx, hy, hz = t * l0, t * l1, t * l2
+            d2 = (hx - cpx) ** 2 + (hy - cpy) ** 2 + (hz - cpz) ** 2
+            hit = cvalid & (d2 <= crad * crad) & (hz > 0)
+            closer = hit & (hz < best_z)
+            best_z = jnp.where(closer, hz, best_z)
+            best_idx = jnp.where(closer, cand, best_idx)
+
+    valid = best_idx >= 0
+    safe = jnp.maximum(best_idx, 0)
+
+    def g(ch):
+        return jnp.where(valid, jnp.take(data_local[ch], safe), 0.0)
+
+    # vertex = corrected position along the pixel ray (combo_splat.frag:
+    # vertexConf.xyz is re-derived from gl_FragCoord and the corrected depth)
+    zc = jnp.where(valid, best_z, 0.0)
+    vx = lx * zc
+    vy = ly * zc
+    color = jnp.stack([g(sm.CR), g(sm.CG), g(sm.CB)], axis=-1)
+    vertex_conf = jnp.stack([vx, vy, zc, g(sm.CONF)], axis=-1)
+    normal_rad = jnp.stack([g(sm.NX), g(sm.NY), g(sm.NZ), g(sm.RADIUS)], axis=-1)
+    tmap = jnp.where(valid, jnp.take(data_local[sm.INIT_T], safe), 0.0)
+    return PredictedMaps(
+        color=color,
+        vertex_conf=vertex_conf,
+        normal_rad=normal_rad,
+        time=tmap.astype(jnp.int32),
+        valid=valid,
+    )
+
+
+def splat_depth(
+    smap: sm.SurfelMap,
+    pose: jnp.ndarray,
+    cam: CameraModel,
+    conf_threshold,
+    time,
+    max_time,
+    time_delta,
+    max_depth: float,
+    window: int = 5,
+) -> jnp.ndarray:
+    """Depth-only splat (ModelProjection::synthesizeDepth, :275-335)."""
+    pred = splat_predict(
+        smap, pose, cam, conf_threshold, time, max_time, time_delta, max_depth, window
+    )
+    return pred.vertex_conf[..., 2]
