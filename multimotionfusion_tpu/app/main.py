@@ -1,0 +1,116 @@
+"""Command-line app shell.
+
+Headless counterpart of the reference executable (GUI/Main.cpp +
+GUI/MainController.cpp). Flag names follow the reference CLI surface
+(documented MainController.cpp:40-122) so scripted reference invocations port
+directly; Pangolin GUI rendering is out of scope (the engine exposes the same
+textures for an external viewer).
+
+Usage examples:
+    python -m multimotionfusion_tpu.app.main -l sequence.klg -run -q -ep -em
+    python -m multimotionfusion_tpu.app.main -l synthetic -frames 60 -exportdir /tmp/out
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time as _time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="multimotionfusion_tpu",
+        description="TPU-native multi-object RGB-D SLAM",
+    )
+    # reference flags (MainController.cpp:40-122); single-dash as upstream
+    p.add_argument("-l", dest="log", default="synthetic", help="log source: .klg | image dir | 'synthetic'")
+    p.add_argument("-dim", default="640x480", help="process images at WxH")
+    p.add_argument("-cal", default=None, help="calibration file 'fx fy cx cy'")
+    p.add_argument("-frames", type=int, default=None, help="stop after N frames")
+    p.add_argument("-init", dest="odom_init", default="kp", choices=["kp", "tf", "none"], help="pose initialisation")
+    p.add_argument("-icp_refine", action="store_true", default=True)
+    p.add_argument("-no_icp_refine", dest="icp_refine", action="store_false")
+    p.add_argument("-static", action="store_true", help="single static model (ElasticFusion mode)")
+    p.add_argument("-segm_mode", default="", help="segmentation mode ('', 'flow_crf')")
+    p.add_argument("-exportdir", default=".", help="output directory")
+    p.add_argument("-ep", action="store_true", help="export poses on finish")
+    p.add_argument("-em", action="store_true", help="export model PLY clouds on finish")
+    p.add_argument("-run", action="store_true", help="start immediately (always true, headless)")
+    p.add_argument("-q", action="store_true", help="quit on finish (always true, headless)")
+    p.add_argument("-v", dest="verbose", action="store_true")
+    return p
+
+
+def make_config(args) -> "EngineConfig":
+    import dataclasses
+
+    from multimotionfusion_tpu.config import CameraModel, EngineConfig
+
+    w, h = (int(v) for v in args.dim.split("x"))
+    cam_kw = dict(width=w, height=h)
+    if args.cal:
+        with open(args.cal) as f:
+            fx, fy, cx, cy = (float(v) for v in f.read().split()[:4])
+        cam_kw.update(fx=fx, fy=fy, cx=cx, cy=cy)
+    else:
+        # reference default intrinsics scale with -dim (MainController.cpp:147-149)
+        cam_kw.update(fx=528.0 * w / 640, fy=528.0 * h / 480, cx=w / 2, cy=h / 2)
+    cfg = EngineConfig(
+        camera=CameraModel(**cam_kw),
+        odom_init="" if args.odom_init == "none" else args.odom_init,
+        icp_refine=args.icp_refine,
+        enable_multi_model=not args.static,
+        export_dir=args.exportdir,
+    )
+    if args.segm_mode:
+        cfg = dataclasses.replace(
+            cfg,
+            segmentation=dataclasses.replace(cfg.segmentation, mode=args.segm_mode),
+        )
+    return cfg
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = make_config(args)
+
+    from multimotionfusion_tpu.engine import MultiMotionFusionTPU
+    from multimotionfusion_tpu.io.readers import open_log
+
+    reader = open_log(args.log, cfg.camera)
+    engine = MultiMotionFusionTPU(cfg)
+    os.makedirs(args.exportdir, exist_ok=True)
+
+    n = len(reader) if args.frames is None else min(args.frames, len(reader))
+    t_start = _time.time()
+    for i, frame in enumerate(reader):
+        if args.frames is not None and i >= args.frames:
+            break
+        stats = engine.process_frame(frame)
+        if args.verbose or i % 30 == 0:
+            el = _time.time() - t_start
+            print(
+                f"frame {i + 1}/{n} surfels={stats.get('surfels', 0)} "
+                f"icp_err={stats.get('icp_error', 0):.2e} "
+                f"{(i + 1) / el:.1f} fps",
+                flush=True,
+            )
+
+    wall = _time.time() - t_start
+    print(f"processed {engine.tick - 1} frames in {wall:.1f}s "
+          f"({(engine.tick - 1) / wall:.2f} fps)")
+    if args.ep:
+        for p in engine.export_poses(args.exportdir):
+            print("wrote", p)
+    if args.em:
+        for p in engine.save_ply(args.exportdir):
+            print("wrote", p)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

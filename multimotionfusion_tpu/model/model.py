@@ -1,0 +1,215 @@
+"""Per-rigid-body model: surfel map + pose + tracking state.
+
+TPU counterpart of reference Core/Model/Model.{h,cpp}. Where the reference
+Model owns GL buffers, CUDA pyramids and an RGBDOdometry instance, this Model
+owns a SurfelMap pytree, the latest prediction (splat + fill-in) and the pose
+history; all per-frame device work is delegated to jitted free functions so
+state stays a plain pytree and the class is orchestration only (host-side
+decisions mirror the reference's CPU control flow, SURVEY.md §7).
+
+Pose convention matches the reference: ``pose`` maps model/camera frame ->
+global frame (Model.h getPose). For the global model (id 0) this is the camera
+pose; object models premultiply their own rigid motion.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimotionfusion_tpu.config import CameraModel, EngineConfig
+from multimotionfusion_tpu.model import fusion, surfel_map as sm
+from multimotionfusion_tpu.model.fillin import FilledMaps, fill_in
+from multimotionfusion_tpu.odometry import levels as lv
+from multimotionfusion_tpu.odometry import rgbd
+from multimotionfusion_tpu.ops import maps as mapops
+from multimotionfusion_tpu.ops import rasterize
+from multimotionfusion_tpu.utils import se3
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg", "capacity"))
+def _init_map(
+    rgb, depth_raw, depth_filt, time, cam: CameraModel, cfg: EngineConfig, capacity: int
+):
+    vmap_raw = mapops.create_vmap(depth_raw, cam, cfg.surfels.depth_cutoff)
+    vmap_f = mapops.create_vmap(depth_filt, cam, cfg.surfels.depth_cutoff)
+    nmap_f = mapops.create_nmap(vmap_f)
+    fs = sm.compute_frame_surfels(
+        rgb, vmap_raw, vmap_f, nmap_f, cam, time, cfg.surfels.depth_cutoff, 1.0
+    )
+    return sm.init_from_frame(fs, capacity)
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+def _fuse_clean(
+    smap: sm.SurfelMap,
+    pose,
+    rgb,
+    depth_raw,
+    depth_filt,
+    mask,
+    mask_id,
+    time,
+    weighting,
+    cam: CameraModel,
+    cfg: EngineConfig,
+):
+    """fuse + clean against a fresh index map each (MultiMotionFusion.cpp:791-817)."""
+    scfg = cfg.surfels
+    vmap_raw = mapops.create_vmap(depth_raw, cam, scfg.depth_cutoff)
+    vmap_f = mapops.create_vmap(depth_filt, cam, scfg.depth_cutoff)
+    nmap_f = mapops.create_nmap(vmap_f)
+    fs = sm.compute_frame_surfels(
+        rgb, vmap_raw, vmap_f, nmap_f, cam, time, scfg.depth_cutoff, weighting
+    )
+    im = rasterize.predict_indices(
+        smap, pose, cam, time, scfg.time_delta, scfg.depth_cutoff
+    )
+    fused = fusion.fuse(smap, fs, im, mask, mask_id, pose, cam, time, scfg)
+    im2 = rasterize.predict_indices(
+        fused, pose, cam, time, scfg.time_delta, scfg.depth_cutoff
+    )
+    return fusion.clean(
+        fused, im2, depth_filt, mask, mask_id, pose, cam,
+        time, scfg.time_delta, scfg.conf_threshold, scfg,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+def _predict_fillin(
+    smap: sm.SurfelMap,
+    pose,
+    rgb,
+    depth_filt,
+    time,
+    max_time,
+    cam: CameraModel,
+    cfg: EngineConfig,
+    passthrough=False,
+):
+    """combinedPredict(ACTIVE) + performFillIn (MultiMotionFusion.cpp:863-875)."""
+    scfg = cfg.surfels
+    pred = rasterize.splat_predict(
+        smap, pose, cam, scfg.conf_threshold, time, max_time,
+        scfg.time_delta, scfg.depth_cutoff, scfg.splat_footprint,
+    )
+    vmap_f = mapops.create_vmap(depth_filt, cam, scfg.depth_cutoff)
+    nmap_f = mapops.create_nmap(vmap_f)
+    conf = sm.pixel_confidence(cam, 1.0)
+    rad = sm.radius_from_depth(vmap_f[..., 2], nmap_f[..., 2], cam)
+    return pred, fill_in(pred, rgb, vmap_f, nmap_f, conf, rad, passthrough)
+
+
+class Model:
+    """One rigid body (reference Core/Model/Model.h:75-409)."""
+
+    def __init__(self, model_id: int, cfg: EngineConfig, capacity: Optional[int] = None):
+        self.id = model_id
+        self.cfg = cfg
+        self.capacity = capacity or cfg.surfels.max_surfels
+        self.smap = sm.empty(self.capacity)
+        self.pose = jnp.eye(4, dtype=jnp.float32)
+        self.pose_log: List[Tuple[int, np.ndarray]] = []  # (timestamp, pose 4x4)
+        self.filled: Optional[FilledMaps] = None  # prediction for next tracking
+        self.pred: Optional[rasterize.PredictedMaps] = None
+        self.last_odometry: Optional[rgbd.OdometryResult] = None
+        self.unseen_count = 0
+        self.age = 0  # frames since creation
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def initialise(self, rgb, depth_raw, depth_filt, time: int, cam: CameraModel):
+        self.smap = _init_map(
+            rgb, depth_raw, depth_filt, time, cam, self.cfg, self.capacity
+        )
+
+    def last_transform(self) -> jnp.ndarray:
+        """Relative motion over the last frame (Model::getLastTransform)."""
+        if len(self.pose_log) < 2:
+            return jnp.eye(4, dtype=jnp.float32)
+        prev = jnp.asarray(self.pose_log[-2][1])
+        return jnp.asarray(self.pose_log[-1][1]) @ se3.inverse_T(prev)
+
+    def compute_fusion_weight(self, weight_multiplier: float) -> float:
+        """Velocity-based fusion down-weighting (Model.cpp:876-891)."""
+        diff = self.last_transform()
+        trans = float(jnp.linalg.norm(diff[:3, 3]))
+        rot = float(jnp.linalg.norm(se3.so3_log(diff[:3, :3])))
+        largest = 0.01
+        w = min(max(trans, rot), largest)
+        return max(1.0 - w / largest, 0.5) * weight_multiplier
+
+    # -- per-frame stages --------------------------------------------------
+
+    def track(
+        self,
+        frame_pyr: lv.FramePyramids,
+        last_intensity_l2,
+        cam: CameraModel,
+        mask_id=0,
+    ) -> rgbd.OdometryResult:
+        """Dense ICP+RGB refinement against the last prediction
+        (Model::performTracking, Model.cpp:409-433)."""
+        assert self.filled is not None, "track() requires a prior predict()"
+        pred_v = self.filled.vertex_conf[..., :3]
+        pred_n = self.filled.normal_rad[..., :3]
+        pred_i = mapops_intensity(self.filled.color)
+        levels = lv.build_level_data(
+            frame_pyr, pred_v, pred_n, pred_i, self.pose, cam,
+            self.cfg.odometry, mask_id,
+        )
+        result = rgbd.get_incremental_transformation(
+            self.pose, levels, last_intensity_l2, self.cfg.odometry, cam, mask_id
+        )
+        self.pose = result.pose
+        self.last_odometry = result
+        return result
+
+    def fuse_clean(
+        self, rgb, depth_raw, depth_filt, mask, time: int,
+        cam: CameraModel, weight_multiplier: float = 1.0,
+    ):
+        w = self.compute_fusion_weight(weight_multiplier)
+        self.smap = _fuse_clean(
+            self.smap, self.pose, rgb, depth_raw, depth_filt, mask,
+            self.id, time, w, cam, self.cfg,
+        )
+
+    def predict(self, rgb, depth_filt, time: int, cam: CameraModel, lost=False):
+        self.pred, self.filled = _predict_fillin(
+            self.smap, self.pose, rgb, depth_filt,
+            0 if lost else time, time, cam, self.cfg,
+            passthrough=self.cfg.frame_to_frame_rgb,
+        )
+
+    def append_pose(self, timestamp: int):
+        self.pose_log.append((timestamp, np.asarray(self.pose)))
+
+    # -- export ------------------------------------------------------------
+
+    def surfel_count(self) -> int:
+        return int(self.smap.count)
+
+    def download(self) -> dict:
+        """Host copy of the live surfels (Model::downloadMap, Model.cpp:1353-1384)."""
+        n = self.surfel_count()
+        d = np.asarray(self.smap.data[:, :n])
+        return {
+            "position": d[sm.POS].T,
+            "confidence": d[sm.CONF],
+            "color": d[sm.COLOR].T,
+            "init_time": d[sm.INIT_T],
+            "last_time": d[sm.LAST_T],
+            "normal": d[sm.NORMAL].T,
+            "radius": d[sm.RADIUS],
+        }
+
+
+def mapops_intensity(rgb: jnp.ndarray) -> jnp.ndarray:
+    from multimotionfusion_tpu.ops import image as imops
+
+    return imops.rgb_to_intensity(rgb)

@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from multimotionfusion_tpu.config import CameraModel, OdometryConfig
+from multimotionfusion_tpu.ops import image as imops
 from multimotionfusion_tpu.ops import maps as mapops
 from multimotionfusion_tpu.utils import se3
 
@@ -108,6 +109,27 @@ def solve_preconditioned(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.all(jnp.isfinite(x)), x, jnp.zeros_like(x))
 
 
+def clamp_step(x: jnp.ndarray, max_trans: float = 0.1, max_rot: float = 0.1) -> jnp.ndarray:
+    """Trust-region clamp on one GN step.
+
+    The reference has no per-iteration safeguard (only the final 0.3 m guard,
+    RGBDOdometry.cpp:464-467) because at 640x480 its coarsest level is 160x120
+    and systems stay well-conditioned. At small working resolutions (or tiny
+    per-object masks) a near-singular 6x6 can emit arbitrarily large steps;
+    scaling the whole step preserves its direction and is a no-op for healthy
+    solves, where per-iteration motion is far below these bounds.
+    """
+    tn = jnp.linalg.norm(x[0:3])
+    rn = jnp.linalg.norm(x[3:6])
+    scale = jnp.minimum(
+        1.0,
+        jnp.minimum(
+            max_trans / jnp.maximum(tn, 1e-12), max_rot / jnp.maximum(rn, 1e-12)
+        ),
+    )
+    return x * scale
+
+
 def icp_system(
     T_wc: jnp.ndarray,
     T_prev: jnp.ndarray,
@@ -137,26 +159,28 @@ def icp_system(
 
     z = vcurr_cp[..., 2]
     safe_z = jnp.where(z != 0, z, 1.0)
-    u = jnp.rint(vcurr_cp[..., 0] * cam.fx / safe_z + cam.cx).astype(jnp.int32)
-    v = jnp.rint(vcurr_cp[..., 1] * cam.fy / safe_z + cam.cy).astype(jnp.int32)
-    in_bounds = (u >= 0) & (v >= 0) & (u < w) & (v < h) & (z > 0) & v_valid
-
-    vprev_g = _gather_img(vmap_prev_g, v, u)
-    nprev_g = _gather_img(nmap_prev_g, v, u)
+    # sub-pixel projective association: bilinear (validity-gated) instead of
+    # the reference's __float2int_rn nearest-pixel gather — see
+    # maps.bilinear_sample_valid for why
+    uf = vcurr_cp[..., 0] * cam.fx / safe_z + cam.cx
+    vf = vcurr_cp[..., 1] * cam.fy / safe_z + cam.cy
+    vprev_g, vprev_ok = mapops.bilinear_sample_valid(vmap_prev_g, uf, vf)
+    nprev_g, nprev_ok = mapops.bilinear_sample_valid(nmap_prev_g, uf, vf)
+    nprev_norm = jnp.linalg.norm(nprev_g, axis=-1, keepdims=True)
+    nprev_g = nprev_g / jnp.maximum(nprev_norm, 1e-12)
+    in_bounds = vprev_ok & nprev_ok & (z > 0) & v_valid
 
     ncurr_g = jnp.einsum("ij,hwj->hwi", R_curr, nmap_curr)
     dist = jnp.linalg.norm(vprev_g - vcurr_g, axis=-1)
     sine = jnp.linalg.norm(jnp.cross(ncurr_g, nprev_g), axis=-1)
 
     ncurr_valid = jnp.sum(nmap_curr * nmap_curr, axis=-1) > 0
-    nprev_valid = jnp.sum(nprev_g * nprev_g, axis=-1) > 0
 
     found = (
         in_bounds
         & (sine < angle_thresh)
         & (dist <= dist_thresh)
         & ncurr_valid
-        & nprev_valid
     )
 
     # rows built in the PREV camera frame (reduce.cu:320-329)
@@ -189,8 +213,11 @@ def rgb_correspondences(
 ):
     """Photometric correspondence field (residualKernel, reduce.cu:759-839).
 
-    Returns (valid [H,W], u0, v0 [H,W] int32 coords in the last image,
-    diff [H,W], sigma_sum scalar, count scalar, error image).
+    Returns (valid [H,W], cp [H,W,3] last-camera-frame 3D points of the
+    correspondence, diff [H,W], sigma_sum scalar, count scalar, error image).
+    Deviates from the reference by warping with continuous coordinates and
+    bilinear sampling — the reference's integer warp quantises the photometric
+    residual to whole pixels, making sub-pixel motion invisible to the RGB term.
     """
     h, w = level.img_next.shape
     xg = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
@@ -228,35 +255,42 @@ def rgb_correspondences(
 
     td1 = d1 * (KRK_inv[2, 0] * xg + KRK_inv[2, 1] * yg + KRK_inv[2, 2]) + Kt[2]
     safe_td1 = jnp.where(td1 != 0, td1, 1.0)
-    u0 = jnp.rint(
-        (d1 * (KRK_inv[0, 0] * xg + KRK_inv[0, 1] * yg + KRK_inv[0, 2]) + Kt[0])
-        / safe_td1
-    ).astype(jnp.int32)
-    v0 = jnp.rint(
-        (d1 * (KRK_inv[1, 0] * xg + KRK_inv[1, 1] * yg + KRK_inv[1, 2]) + Kt[1])
-        / safe_td1
-    ).astype(jnp.int32)
-    inb = (u0 >= 0) & (v0 >= 0) & (u0 < w) & (v0 < h)
-    valid = valid & inb
+    u0 = (
+        d1 * (KRK_inv[0, 0] * xg + KRK_inv[0, 1] * yg + KRK_inv[0, 2]) + Kt[0]
+    ) / safe_td1
+    v0 = (
+        d1 * (KRK_inv[1, 0] * xg + KRK_inv[1, 1] * yg + KRK_inv[1, 2]) + Kt[1]
+    ) / safe_td1
 
-    d0 = _gather_img(level.depth_last, v0, u0)
-    img0 = _gather_img(level.img_last, v0, u0)
-    valid = valid & (d0 > 0) & (jnp.abs(td1 - d0) <= max_depth_delta) & (img0 != 0)
+    d0, d0_ok = mapops.bilinear_sample_valid(level.depth_last, u0, v0)
+    img0, img0_ok = mapops.bilinear_sample_valid(level.img_last, u0, v0)
+    valid = (
+        valid & d0_ok & img0_ok & (jnp.abs(td1 - d0) <= max_depth_delta)
+    )
+
+    # correspondence 3D point in the LAST camera frame, at the continuous warp
+    # coordinate (replaces the reference's cloud_last[v0, u0] integer gather)
+    cp = jnp.stack(
+        [
+            d0 * (u0 - cam.cx) / cam.fx,
+            d0 * (v0 - cam.cy) / cam.fy,
+            d0,
+        ],
+        axis=-1,
+    )
 
     diff = jnp.where(valid, level.img_next - img0, 0.0)
     sigma = jnp.sum(diff * diff)
     count = jnp.sum(valid)
     err_img = jnp.where(valid, 0.001 * diff * diff, 0.0)
-    return valid, u0, v0, diff, sigma, count, err_img
+    return valid, cp, diff, sigma, count, err_img
 
 
 def rgb_system(
     valid: jnp.ndarray,
-    u0: jnp.ndarray,
-    v0: jnp.ndarray,
+    cp: jnp.ndarray,  # [H,W,3] correspondence points, last camera frame
     diff: jnp.ndarray,
     sigma_val: jnp.ndarray,
-    cloud_last: jnp.ndarray,
     didx: jnp.ndarray,
     didy: jnp.ndarray,
     cam: CameraModel,
@@ -267,7 +301,6 @@ def rgb_system(
     w = jnp.where(w_raw > 1.19209290e-7, 1.0 / w_raw, 1.0)
     w = jnp.where(sigma_val == -1.0, 1.0, w)
 
-    cp = _gather_img(cloud_last, v0, u0)  # [H,W,3] last-frame cloud at corresp.zero
     z = cp[..., 2]
     invz = jnp.where(z != 0, 1.0 / jnp.where(z != 0, z, 1.0), 0.0)
     dI_dx = w * sobel_scale * didx  # gradients at corresp.one == this pixel
@@ -311,31 +344,34 @@ def so3_system(
     py = image_basis[1, 0] * xg + image_basis[1, 1] * yg + image_basis[1, 2]
     pz = image_basis[2, 0] * xg + image_basis[2, 1] * yg + image_basis[2, 2]
     safe_pz = jnp.where(pz != 0, pz, 1.0)
-    wu = jnp.rint(px / safe_pz).astype(jnp.int32)
-    wv = jnp.rint(py / safe_pz).astype(jnp.int32)
+    # continuous warp + bilinear sampling, NOT the reference's __float2int_rn
+    # (reduce.cu:1000-1001): integer warps make sub-pixel rotations invisible,
+    # so the SO(3) loop re-adds the same delta every iteration and diverges
+    wu = px / safe_pz
+    wv = py / safe_pz
 
     found = (
         (wu >= 1)
-        & (wu < w - 1)
+        & (wu < w - 2)
         & (wv >= 1)
-        & (wv < h - 1)
+        & (wv < h - 2)
         & (xg >= 1)
         & (xg < w - 1)
         & (yg >= 1)
         & (yg < h - 1)
     )
 
-    def grad(img, v, u):
-        gx = (_gather_img(img, v, u - 1) - _gather_img(img, v, u + 1)) * 0.5
-        gy = (_gather_img(img, v - 1, u) - _gather_img(img, v + 1, u)) * 0.5
+    # ESM gradient: average of last-image gradient (at the pixel) and
+    # next-image gradient (bilinear at the warped position)
+    def central_grads(img):
+        gx = (jnp.pad(img, ((0, 0), (1, 0)))[:, :-1] - jnp.pad(img, ((0, 0), (0, 1)))[:, 1:]) * 0.5
+        gy = (jnp.pad(img, ((1, 0), (0, 0)))[:-1] - jnp.pad(img, ((0, 1), (0, 0)))[1:]) * 0.5
         return gx, gy
 
-    xi = xg.astype(jnp.int32)
-    yi = yg.astype(jnp.int32)
-    gnx, gny = grad(next_img, wv, wu)
-    glx, gly = grad(last_img, yi, xi)
-    gx = (gnx + glx) * 0.5
-    gy = (gny + gly) * 0.5
+    ngx, ngy = central_grads(next_img)
+    lgx, lgy = central_grads(last_img)
+    gx = (imops.bilinear_sample(ngx, wu, wv) + lgx) * 0.5
+    gy = (imops.bilinear_sample(ngy, wu, wv) + lgy) * 0.5
 
     # point = K^-1 [x, y, 1]
     pt = jnp.stack(
@@ -359,7 +395,7 @@ def so3_system(
         axis=-1,
     )
     jac = jnp.cross(left, pt)
-    resid = -(_gather_img(next_img, wv, wu) - last_img)
+    resid = -(imops.bilinear_sample(next_img, wu, wv) - last_img)
 
     rows = jnp.concatenate([jac, resid[..., None]], axis=-1)
     rows = jnp.where(found[..., None], rows, 0.0).reshape(-1, 4)
@@ -436,6 +472,9 @@ def get_incremental_transformation(
             diverging = err > last_err + 0.001
 
             delta = solve_preconditioned(S[:3, :3], S[:3, 3])
+            dn = jnp.linalg.norm(delta)
+            delta = delta * jnp.minimum(1.0, 0.1 / jnp.maximum(dn, 1e-12))
+            delta = jnp.where(cnt >= 60, delta, jnp.zeros_like(delta))
             R_new = se3.so3_exp(delta) @ R
 
             # converged: keep R (break before update); diverging: revert to last_R
@@ -481,15 +520,11 @@ def get_incremental_transformation(
         K = _K(cam_l)
         Kinv = _K_inv(cam_l)
         level = levels[i]
-        cloud_last = None
-        if use_rgb:
-            # projectToPointCloud on lastDepth (RGBDOdometry.cpp:333)
-            cloud_last = mapops.backproject(level.depth_last, cam_l)
         # minScale = (minGradMag^2) / sobelScale^2 (RGBDOdometry.cpp:365)
         min_scale = (cfg.min_grad_magnitudes[i] ** 2) / (cfg.sobel_scale**2)
 
         def level_body(j, carry, level=level, cam_l=cam_l, K=K, Kinv=Kinv,
-                       cloud_last=cloud_last, min_scale=min_scale, i=i, iters=iters):
+                       min_scale=min_scale, i=i, iters=iters):
             (result_Rt, icp_err, icp_count, rgb_err, rgb_count, lastA, lastb,
              last_rgb_err, stopped, icp_img, rgb_img) = carry
 
@@ -502,7 +537,7 @@ def get_incremental_transformation(
             S_rgb = jnp.zeros((7, 7), f32)
             rgb_img_new = rgb_img
             if use_rgb:
-                valid, u0, v0, diff, sigma, cnt, err_img = rgb_correspondences(
+                valid, cp, diff, sigma, cnt, err_img = rgb_correspondences(
                     level, KRK_inv, Kt, min_scale, cfg.max_depth_delta_rgb,
                     cam_l, mask_id, cfg.mask_rgb,
                 )
@@ -515,7 +550,7 @@ def get_incremental_transformation(
                     sigma_val = jnp.full_like(sigma_val, -1.0)
                     stopped = stopped | (tmp_err > last_rgb_err)
                 S_rgb = rgb_system(
-                    valid, u0, v0, diff, sigma_val, cloud_last,
+                    valid, cp, diff, sigma_val,
                     level.didx, level.didy, cam_l, cfg.sobel_scale,
                 )
             else:
@@ -547,10 +582,13 @@ def get_incremental_transformation(
             else:
                 A, b = A_rgbd, b_rgbd
 
-            x = solve_preconditioned(A, b)
+            x = clamp_step(solve_preconditioned(A, b))
             Rt_new = se3.gn_update_pose(result_Rt, x)
 
-            upd = ~stopped
+            # degenerate-system gate: with almost no correspondences the
+            # normal equations are noise; hold the pose instead
+            enough = (icp_cnt + rgb_size.astype(jnp.int32)) >= 60
+            upd = ~stopped & enough
             result_Rt = jnp.where(upd, Rt_new, result_Rt)
             icp_err_new = jnp.sqrt(S_icp[6, 6]) / jnp.maximum(icp_cnt.astype(f32), 1.0)
             return (

@@ -124,6 +124,57 @@ def vertices_to_depth(vmap: jnp.ndarray, cutoff: float) -> jnp.ndarray:
     return jnp.where((z > 0) & (z <= cutoff), z, 0.0)
 
 
+def bilinear_sample_valid(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+    """Validity-aware bilinear sampling of a map at float pixel coords.
+
+    A tap is valid when its last-channel-wise vector is nonzero (the map
+    convention for invalid entries); the sample is valid only if ALL four taps
+    are valid and in bounds — conservative, so interpolation never bleeds
+    across depth discontinuities. Returns (value, ok).
+
+    This deliberately upgrades the reference's nearest-pixel gathers
+    (reduce.cu __float2int_rn association): nearest-pixel point-to-plane
+    residuals on curved surfaces carry a systematic lateral^2/(2R) curvature
+    bias that the GN solve amplifies, and integer photometric warps make
+    sub-pixel motion invisible. Bilinear association removes both.
+    """
+    h, w = img.shape[:2]
+    scalar = img.ndim == 2
+    if scalar:
+        img = img[..., None]
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = (u - u0)[..., None]
+    fv = (v - v0)[..., None]
+    u0i = u0.astype(jnp.int32)
+    v0i = v0.astype(jnp.int32)
+    inb = (u0i >= 0) & (v0i >= 0) & (u0i < w - 1) & (v0i < h - 1)
+    u0c = jnp.clip(u0i, 0, w - 2)
+    v0c = jnp.clip(v0i, 0, h - 2)
+
+    def tap(dv, du):
+        return img[v0c + dv, u0c + du]
+
+    t00, t01, t10, t11 = tap(0, 0), tap(0, 1), tap(1, 0), tap(1, 1)
+    ok = (
+        inb
+        & jnp.any(t00 != 0, -1)
+        & jnp.any(t01 != 0, -1)
+        & jnp.any(t10 != 0, -1)
+        & jnp.any(t11 != 0, -1)
+    )
+    val = (
+        t00 * (1 - fu) * (1 - fv)
+        + t01 * fu * (1 - fv)
+        + t10 * (1 - fu) * fv
+        + t11 * fu * fv
+    )
+    val = jnp.where(ok[..., None], val, 0.0)
+    if scalar:
+        val = val[..., 0]
+    return val, ok
+
+
 def project(points: jnp.ndarray, cam: CameraModel):
     """Camera-frame points [..., 3] -> (u, v) float pixel coords."""
     z = points[..., 2]

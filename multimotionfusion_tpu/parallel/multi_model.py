@@ -1,0 +1,60 @@
+"""Model-parallel tracking and fusion over a device mesh.
+
+The reference tracks each rigid-body model sequentially on one GPU
+(MultiMotionFusion.cpp:312-387: per-model pose init -> ICP refine). Here the
+per-model odometry is vmapped over a leading model axis and sharded across the
+mesh's ``models`` axis, so M models on D chips cost ~ceil(M/D) model-tracks of
+wall-clock. Frame pyramids are replicated (broadcast once per frame over ICI);
+per-model state (pose, prediction maps, mask id) is sharded.
+
+This is the multi-chip execution path validated by __graft_entry__.
+dryrun_multichip on a virtual device mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from multimotionfusion_tpu.config import CameraModel, OdometryConfig
+from multimotionfusion_tpu.odometry import rgbd
+from multimotionfusion_tpu.parallel import mesh as meshlib
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "cam"))
+def track_models_batched(
+    poses: jnp.ndarray,  # [M, 4, 4] per-model prev poses
+    levels_batched: Sequence[rgbd.LevelData],  # each leaf [M, H, W, ...]
+    last_intensity_coarse: jnp.ndarray,  # [H/4, W/4] shared
+    mask_ids: jnp.ndarray,  # [M]
+    cfg: OdometryConfig,
+    cam: CameraModel,
+) -> rgbd.OdometryResult:
+    """vmap of the dense GN solver over the model axis.
+
+    All leaves of `levels_batched` carry a leading M axis; shard that axis
+    over the mesh with `shard_model_batch` before calling and XLA runs each
+    model's solve on its own chip with no cross-chip traffic inside the solve.
+    """
+
+    def one(pose, levels, mask_id):
+        return rgbd.get_incremental_transformation(
+            pose, levels, last_intensity_coarse, cfg, cam, mask_id
+        )
+
+    return jax.vmap(one, in_axes=(0, 0, 0))(poses, levels_batched, mask_ids)
+
+
+def shard_model_batch(tree, mesh: Mesh):
+    """Place every leaf's leading (model) axis across the mesh."""
+    sh = meshlib.model_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def replicate(tree, mesh: Mesh):
+    sh = meshlib.replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
