@@ -36,9 +36,11 @@ def main() -> int:
     engine = MultiMotionFusionTPU(cfg)
     for f in frames[:warmup]:
         engine.process_frame(f)
+    engine.finish()
     t0 = time.time()
     for f in frames[warmup:]:
         engine.process_frame(f)
+    engine.finish()
     dt = time.time() - t0
     fps = (n_frames - warmup) / dt
 

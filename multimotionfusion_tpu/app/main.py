@@ -90,8 +90,9 @@ def main(argv=None) -> int:
     for i, frame in enumerate(reader):
         if args.frames is not None and i >= args.frames:
             break
-        stats = engine.process_frame(frame)
+        engine.process_frame(frame)
         if args.verbose or i % 30 == 0:
+            stats = engine.current_stats(sync=True)
             el = _time.time() - t_start
             print(
                 f"frame {i + 1}/{n} surfels={stats.get('surfels', 0)} "
@@ -100,6 +101,7 @@ def main(argv=None) -> int:
                 flush=True,
             )
 
+    engine.finish()
     wall = _time.time() - t_start
     print(f"processed {engine.tick - 1} frames in {wall:.1f}s "
           f"({(engine.tick - 1) / wall:.2f} fps)")

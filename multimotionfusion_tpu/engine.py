@@ -7,15 +7,22 @@ initialise -> track -> fuse -> clean -> predict -> pose logging. Multi-model
 segmentation/spawning and the sparse keypoint pipeline layer on top in later
 stages (SURVEY.md §7 stages 4-6).
 
-Host/device split: frame-level orchestration and lifecycle decisions run in
-Python (as in the reference, where they are CPU control flow); all pixel and
-surfel work happens in a handful of jitted programs that exchange pytrees.
+Performance architecture (this is where the TPU build departs hardest from
+the reference's per-stage GPU passes + per-iteration host readbacks):
+- the ENTIRE per-frame pipeline is ONE jitted program (`_frame_step`); the
+  reference crosses the host/device boundary hundreds of times per frame
+  (SURVEY.md §3.2);
+- engine state (surfel map, pose, prediction images, pose log) lives on
+  device across frames; the host loop only uploads the new frame and enqueues
+  the next step, so successive frames pipeline without round-trip stalls;
+- per-frame scalars (errors, counts) come back as one small stats vector and
+  are fetched lazily.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional
+from typing import Dict, List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -23,19 +30,158 @@ import numpy as np
 
 from multimotionfusion_tpu.config import CameraModel, EngineConfig
 from multimotionfusion_tpu.io.frame import FrameData
-from multimotionfusion_tpu.model.model import Model
+from multimotionfusion_tpu.model import fusion, surfel_map as sm
+from multimotionfusion_tpu.model.fillin import FilledMaps, fill_in
+from multimotionfusion_tpu.model.model import Model, _bucket_for
 from multimotionfusion_tpu.odometry import levels as lv
+from multimotionfusion_tpu.odometry import rgbd
 from multimotionfusion_tpu.ops import image as imops
+from multimotionfusion_tpu.ops import maps as mapops
+from multimotionfusion_tpu.ops import rasterize
 from multimotionfusion_tpu.utils import se3
 
+# stat vector slots returned by the fused frame step
+STAT_ICP_ERROR, STAT_ICP_COUNT, STAT_RGB_ERROR, STAT_RGB_COUNT, STAT_SURFELS, STAT_HWM = range(6)
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _preprocess(rgb_u8, depth_raw, cfg: EngineConfig):
-    """Upload-side frame prep (MultiMotionFusion.cpp:259-262, 897-904):
-    bilateral depth filter + odometry pyramids."""
+
+class GlobalState(NamedTuple):
+    """Device-resident single-model engine state."""
+
+    smap: sm.SurfelMap
+    pose: jnp.ndarray  # [4,4]
+    prev_pose: jnp.ndarray  # pose one frame earlier (fusion weighting)
+    filled: FilledMaps  # prediction for the next frame's tracking
+    last_intensity_coarse: jnp.ndarray  # previous frame coarse intensity (SO3)
+
+
+def _frame_inputs(rgb_u8, depth_raw, cam: CameraModel, cfg: EngineConfig):
     rgb = rgb_u8.astype(jnp.float32)
     depth_filt = imops.bilateral_depth_filter(depth_raw)
-    return rgb, depth_filt
+    vmap_raw = mapops.create_vmap(depth_raw, cam, cfg.surfels.depth_cutoff)
+    vmap_f = mapops.create_vmap(depth_filt, cam, cfg.surfels.depth_cutoff)
+    nmap_f = mapops.create_nmap(vmap_f)
+    return rgb, depth_filt, vmap_raw, vmap_f, nmap_f
+
+
+def _predict(smap, pose, rgb, depth_filt, vmap_f, nmap_f, time, cam, cfg, bucket, lost=False):
+    scfg = cfg.surfels
+    pred = rasterize.splat_predict(
+        smap.bucketed(bucket), pose, cam, scfg.conf_threshold,
+        jnp.where(jnp.asarray(lost), 0, time), time,
+        scfg.time_delta, scfg.depth_cutoff, scfg.splat_footprint,
+    )
+    conf = sm.pixel_confidence(cam, 1.0)
+    rad = sm.radius_from_depth(vmap_f[..., 2], nmap_f[..., 2], cam)
+    filled = fill_in(
+        pred, rgb, vmap_f, nmap_f, conf, rad, cfg.frame_to_frame_rgb
+    )
+    return pred, filled
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+def _init_step(rgb_u8, depth_raw, pose0, time, cam: CameraModel, cfg: EngineConfig):
+    """First frame: initialise the map + first prediction (processFrame tick==1)."""
+    rgb, depth_filt, vmap_raw, vmap_f, nmap_f = _frame_inputs(rgb_u8, depth_raw, cam, cfg)
+    fs = sm.compute_frame_surfels(
+        rgb, vmap_raw, vmap_f, nmap_f, cam, time, cfg.surfels.depth_cutoff, 1.0
+    )
+    smap = sm.init_from_frame(fs, cfg.surfels.max_surfels)
+    bucket = cfg.surfels.max_surfels  # only used once; no need to specialise
+    _, filled = _predict(smap, pose0, rgb, depth_filt, vmap_f, nmap_f, time, cam, cfg, bucket)
+    coarse = imops.build_pyramid(imops.rgb_to_intensity(rgb), cfg.odometry.num_pyr)[
+        cfg.odometry.num_pyr - 1
+    ]
+    stats = jnp.zeros((6,), jnp.float32)
+    stats = stats.at[STAT_SURFELS].set(smap.alive_count().astype(jnp.float32))
+    stats = stats.at[STAT_HWM].set(smap.count.astype(jnp.float32))
+    return GlobalState(smap, pose0, pose0, filled, coarse), stats
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cam", "cfg", "bucket_fuse", "bucket_pred")
+)
+def _frame_step(
+    state: GlobalState,
+    rgb_u8,
+    depth_raw,
+    mask,
+    time,
+    weight_multiplier,
+    cam: CameraModel,
+    cfg: EngineConfig,
+    bucket_fuse: int,
+    bucket_pred: int,
+):
+    """Track -> fuse -> clean -> predict, one XLA program (tick > 1)."""
+    scfg = cfg.surfels
+    rgb, depth_filt, vmap_raw, vmap_f, nmap_f = _frame_inputs(rgb_u8, depth_raw, cam, cfg)
+    frame_pyr = lv.build_frame_pyramids(depth_filt, rgb, mask, cfg.odometry)
+
+    # ---- dense odometry against the last prediction -----------------------
+    pose = state.pose
+    if cfg.icp_refine or cfg.odom_init != "tf":
+        levels = lv.build_level_data(
+            frame_pyr,
+            state.filled.vertex_conf[..., :3],
+            state.filled.normal_rad[..., :3],
+            imops.rgb_to_intensity(state.filled.color),
+            pose, cam, cfg.odometry, 0,
+        )
+        odo = rgbd.get_incremental_transformation(
+            pose, levels, state.last_intensity_coarse, cfg.odometry, cam, 0
+        )
+        pose = odo.pose
+    else:
+        odo = None
+
+    # ---- fusion weight (Model::computeFusionWeight, Model.cpp:876-891) ----
+    diff = pose @ se3.inverse_T(state.prev_pose)
+    motion = jnp.maximum(
+        jnp.linalg.norm(diff[:3, 3]), jnp.linalg.norm(se3.so3_log(diff[:3, :3]))
+    )
+    weighting = (
+        jnp.maximum(1.0 - jnp.minimum(motion, 0.01) / 0.01, 0.5) * weight_multiplier
+    )
+
+    # ---- fuse + clean ------------------------------------------------------
+    sub = state.smap.bucketed(bucket_fuse)
+    fs = sm.compute_frame_surfels(
+        rgb, vmap_raw, vmap_f, nmap_f, cam, time, scfg.depth_cutoff, weighting
+    )
+    im = rasterize.predict_indices(
+        sub, pose, cam, time, scfg.time_delta, scfg.depth_cutoff
+    )
+    fused = fusion.fuse(sub, fs, im, mask, 0, pose, cam, time, scfg)
+    cleaned = fusion.clean(
+        fused, im, depth_filt, mask, 0, pose, cam,
+        time, scfg.time_delta, scfg.conf_threshold, scfg,
+    )
+    data = state.smap.data.at[:, :bucket_fuse].set(cleaned.data)
+    smap = sm.SurfelMap(data=data, count=cleaned.count)
+
+    # ---- prediction for the next frame ------------------------------------
+    # reuses the shared index map: one z-min scatter pass per frame total
+    # (splat gates applied per candidate inside the resolve)
+    pred = rasterize.splat_resolve(
+        im, cam, scfg.conf_threshold, time, time, scfg.time_delta,
+        scfg.splat_footprint,
+    )
+    conf_img = sm.pixel_confidence(cam, 1.0)
+    rad_img = sm.radius_from_depth(vmap_f[..., 2], nmap_f[..., 2], cam)
+    filled = fill_in(
+        pred, rgb, vmap_f, nmap_f, conf_img, rad_img, cfg.frame_to_frame_rgb
+    )
+
+    coarse = frame_pyr.intensity[cfg.odometry.num_pyr - 1]
+    stats = jnp.zeros((6,), jnp.float32)
+    if odo is not None:
+        stats = stats.at[STAT_ICP_ERROR].set(odo.icp_error)
+        stats = stats.at[STAT_ICP_COUNT].set(odo.icp_count)
+        stats = stats.at[STAT_RGB_ERROR].set(odo.rgb_error)
+        stats = stats.at[STAT_RGB_COUNT].set(odo.rgb_count)
+    stats = stats.at[STAT_SURFELS].set(smap.alive_count().astype(jnp.float32))
+    stats = stats.at[STAT_HWM].set(smap.count.astype(jnp.float32))
+    return GlobalState(smap, pose, state.pose, filled, coarse), stats
 
 
 class MultiMotionFusionTPU:
@@ -47,13 +193,42 @@ class MultiMotionFusionTPU:
         self.tick = 1
         self.time_delta = cfg.surfels.time_delta
         self.models: List[Model] = [Model(0, cfg)]
-        self.last_intensity_coarse: Optional[jnp.ndarray] = None
+        self.state: Optional[GlobalState] = None
         self.lost = False
         self.stats: Dict[str, float] = {}
+        self._stats_dev: List[jnp.ndarray] = []  # per-frame device stats vectors
+        self._pose_dev: List[tuple] = []  # (timestamp, device pose)
+        self._hwm = 0
+        self._hwm_tick = 0  # tick at which _hwm was read
 
     @property
     def global_model(self) -> Model:
-        return self.models[0]
+        # kept for API parity; surfel map state lives in self.state
+        gm = self.models[0]
+        if self.state is not None:
+            gm.smap = self.state.smap
+            gm.pose = self.state.pose
+            gm.hwm = int(self.state.smap.count)
+        gm.pose_log = [(ts, np.asarray(p)) for ts, p in self._pose_dev]
+        return gm
+
+    def _buckets(self):
+        """Pick power-of-two work buckets from a (possibly stale) high-water
+        mark; staleness is bounded by re-reading the device count whenever the
+        conservative growth estimate crosses the current bucket."""
+        cap = self.cfg.surfels.max_surfels
+        n_pix = self.cam.width * self.cam.height
+        # conservative growth bound: fuse appends at most n_pix/4 per frame
+        est = self._hwm + (self.tick - self._hwm_tick) * (n_pix // 4)
+        if self.state is not None and _bucket_for(est + 1, cap) != _bucket_for(
+            self._hwm + n_pix // 4 + 1, cap
+        ):
+            self._hwm = int(self.state.smap.count)  # device sync (rare)
+            self._hwm_tick = self.tick
+            est = self._hwm + n_pix // 4
+        bucket_fuse = _bucket_for(est + 1, cap)
+        bucket_pred = _bucket_for(max(est, 1), cap)
+        return bucket_fuse, bucket_pred
 
     def process_frame(
         self,
@@ -64,43 +239,55 @@ class MultiMotionFusionTPU:
         cam = self.cam
         rgb_u8 = jnp.asarray(frame.rgb)
         depth_raw = jnp.asarray(frame.depth)
-        rgb, depth_filt = _preprocess(rgb_u8, depth_raw, self.cfg)
         mask = (
             jnp.asarray(frame.mask.astype(np.int32))
             if frame.mask is not None
             else jnp.zeros((cam.height, cam.width), jnp.int32)
         )
-        frame_pyr = lv.build_frame_pyramids(depth_filt, rgb, mask, self.cfg.odometry)
 
-        gm = self.global_model
         if self.tick == 1:
-            if gt_pose is not None:
-                gm.pose = jnp.asarray(gt_pose, jnp.float32)
-            gm.initialise(rgb, depth_raw, depth_filt, self.tick, cam)
-            gm.append_pose(frame.timestamp)
-            gm.predict(rgb, depth_filt, self.tick, cam)
+            pose0 = jnp.asarray(
+                gt_pose if gt_pose is not None else np.eye(4), jnp.float32
+            )
+            self.state, stats = _init_step(
+                rgb_u8, depth_raw, pose0, self.tick, cam, self.cfg
+            )
+            self._hwm = int(self.state.smap.count)
+            self._hwm_tick = 1
         else:
             if self.cfg.odom_init == "tf" and gt_pose is not None:
-                gm.pose = jnp.asarray(gt_pose, jnp.float32)
-            if self.cfg.icp_refine or self.cfg.odom_init not in ("tf",):
-                res = gm.track(frame_pyr, self.last_intensity_coarse, cam, mask_id=0)
-                self.stats.update(
-                    icp_error=float(res.icp_error),
-                    icp_count=float(res.icp_count),
-                    rgb_error=float(res.rgb_error),
+                self.state = self.state._replace(
+                    pose=jnp.asarray(gt_pose, jnp.float32)
                 )
-            gm.fuse_clean(
-                rgb, depth_raw, depth_filt, mask, self.tick, cam, weight_multiplier
+            bucket_fuse, bucket_pred = self._buckets()
+            self.state, stats = _frame_step(
+                self.state, rgb_u8, depth_raw, mask, self.tick,
+                weight_multiplier, cam, self.cfg, bucket_fuse, bucket_pred,
             )
-            gm.predict(rgb, depth_filt, self.tick, cam, lost=self.lost)
-            gm.append_pose(frame.timestamp)
-
-        # frame-to-frame reference image for the next SO(3) pre-alignment
-        # (RGBDOdometry keeps the previous frame's coarse intensity)
-        self.last_intensity_coarse = frame_pyr.intensity[self.cfg.odometry.num_pyr - 1]
+        self._stats_dev.append(stats)
+        self._pose_dev.append((frame.timestamp, self.state.pose))
         self.tick += 1
-        self.stats["surfels"] = gm.surfel_count()
+        return self.current_stats(sync=False)
+
+    def current_stats(self, sync: bool = True) -> Dict[str, float]:
+        """Latest per-frame stats; with sync=False returns the last fetched."""
+        if sync and self._stats_dev:
+            s = np.asarray(self._stats_dev[-1])
+            self.stats = {
+                "icp_error": float(s[STAT_ICP_ERROR]),
+                "icp_count": float(s[STAT_ICP_COUNT]),
+                "rgb_error": float(s[STAT_RGB_ERROR]),
+                "rgb_count": float(s[STAT_RGB_COUNT]),
+                "surfels": float(s[STAT_SURFELS]),
+                "hwm": float(s[STAT_HWM]),
+            }
         return dict(self.stats)
+
+    def finish(self):
+        """Drain the device pipeline (call before timing-sensitive readouts)."""
+        if self.state is not None:
+            jax.block_until_ready(self.state.pose)
+        return self.current_stats(sync=True)
 
     # -- export (MultiMotionFusion::exportPoses/savePly, :1001-1045) -------
 
@@ -113,19 +300,24 @@ class MultiMotionFusionTPU:
         """
         import os
 
+        self.finish()
         paths = []
-        gposes = {ts: p for ts, p in self.global_model.pose_log}
-        for model in self.models:
-            path = os.path.join(export_dir, f"poses-{model.id}.txt")
+        pose_log = [(ts, np.asarray(p)) for ts, p in self._pose_dev]
+        gposes = {ts: p for ts, p in pose_log}
+        models = [(0, pose_log)] + [
+            (m.id, m.pose_log) for m in self.models if m.id != 0
+        ]
+        for model_id, log in models:
+            path = os.path.join(export_dir, f"poses-{model_id}.txt")
             with open(path, "w") as f:
-                for ts, pose in model.pose_log:
-                    if model.id == 0:
+                for ts, pose in log:
+                    if model_id == 0:
                         T = pose
                     else:
                         p0 = gposes.get(ts)
                         if p0 is None:
                             continue
-                        T = p0 @ np.linalg.inv(pose)
+                        T = p0 @ np.linalg.inv(np.asarray(pose))
                     q = np.asarray(se3.to_quaternion_xyzw(jnp.asarray(T[:3, :3])))
                     t = T[:3, 3]
                     f.write(
@@ -140,8 +332,9 @@ class MultiMotionFusionTPU:
 
         from multimotionfusion_tpu.io import ply
 
+        self.finish()
         paths = []
-        for model in self.models:
+        for model in [self.global_model] + self.models[1:]:
             path = os.path.join(export_dir, f"cloud-{model.id}.ply")
             ply.write_surfel_ply(
                 path, model.download(), self.cfg.surfels.conf_threshold

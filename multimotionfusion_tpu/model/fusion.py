@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from multimotionfusion_tpu.config import CameraModel, SurfelConfig
 from multimotionfusion_tpu.model import surfel_map as sm
-from multimotionfusion_tpu.ops.rasterize import INVALID, IndexMap
+from multimotionfusion_tpu.ops.rasterize import INVALID, IndexMap, gather_attr_images
 
 _BIG = jnp.float32(3.4e38)
 _IMAX = jnp.int32(2**31 - 1)
@@ -98,17 +98,17 @@ def fuse(
     )
 
     # --- window search over the index map (data.vert:127-163) -------------
-    dl = index_map.data_local
-    cpx_all, cpy_all, cpz_all = dl[sm.PX], dl[sm.PY], dl[sm.PZ]
-    cnx_all, cny_all, cnz_all = dl[sm.NX], dl[sm.NY], dl[sm.NZ]
+    # all taps are stencil rolls of per-pixel winner-attribute images: the
+    # whole search fuses into one image-shaped loop, no per-surfel gathers
+    attrs = gather_attr_images(index_map.data_local, index_map.index)
 
     best_dist = jnp.full((h, w), jnp.float32(1000.0))
     best_tgt = jnp.full((h, w), INVALID)
     for dy, dx in _window_offsets(cfg.assoc_window):
         cand = _shift_with_invalid(index_map.index, dy, dx, INVALID)
         cvalid = cand >= 0
-        s = jnp.maximum(cand, 0)
-        cpx, cpy, cpz = jnp.take(cpx_all, s), jnp.take(cpy_all, s), jnp.take(cpz_all, s)
+        cdat = jnp.roll(attrs, (-dy, -dx), axis=(1, 2))
+        cpx, cpy, cpz = cdat[sm.PX], cdat[sm.PY], cdat[sm.PZ]
         zdiff = cpz - fz
         z_ok = jnp.abs(zdiff * lam) < cfg.assoc_depth_gate
         # dist = |cross(ray, cand_pos)|, ray = (xl, yl, 1)
@@ -116,7 +116,7 @@ def fuse(
         ry = cpx - xl * cpz
         rz = xl * cpy - yl * cpx
         dist = jnp.sqrt(rx * rx + ry * ry + rz * rz)
-        cnx, cny, cnz = jnp.take(cnx_all, s), jnp.take(cny_all, s), jnp.take(cnz_all, s)
+        cnx, cny, cnz = cdat[sm.NX], cdat[sm.NY], cdat[sm.NZ]
         # normal conformance: |n_z| < 0.75 or angle(n_cand, n_frame) < 0.5 rad
         cosang = jnp.clip(cnx * fnx + cny * fny + cnz * fnz, -1.0, 1.0)
         n_ok = (jnp.abs(cnz) < 0.75) | (jnp.abs(jnp.arccos(cosang)) < 0.5)
@@ -124,11 +124,23 @@ def fuse(
         best_dist = jnp.where(better, dist, best_dist)
         best_tgt = jnp.where(better, cand, best_tgt)
 
-    merging = (participate & (best_tgt >= 0)).reshape(n_pix)
-    target = best_tgt.reshape(n_pix)
+    # every participating pixel lies on the time-parity checkerboard
+    # (x%2 == y%2 == time%2), so all scatter work below runs on the exact
+    # [H/2, W/2] subgrid: a dynamic roll aligns the parity to (0,0), then a
+    # static stride-2 slice — 4x fewer scatter indices than full-res
+    par = ti % 2
+
+    def cb(img):
+        rolled = jnp.roll(img, (-par, -par), axis=(-2, -1))
+        return rolled[..., ::2, ::2]
+
+    hc, wc = h // 2, w // 2
+    n_cb = hc * wc
+    merging = (cb(participate & (best_tgt >= 0))).reshape(n_cb)
+    target = cb(best_tgt).reshape(n_cb)
 
     # one winning pixel per target surfel (GL: last write wins; here: min id)
-    pix_ids = jnp.arange(n_pix, dtype=jnp.int32)
+    pix_ids = jnp.arange(n_cb, dtype=jnp.int32)
     tgt_safe = jnp.where(merging, target, smap.capacity)
     winner_of = (
         jnp.full((smap.capacity + 1,), _IMAX).at[tgt_safe].min(pix_ids)
@@ -136,8 +148,16 @@ def fuse(
     is_winner = merging & (winner_of[tgt_safe] == pix_ids)
 
     # --- merge (update.vert:57-97) ----------------------------------------
-    new_global = sm.transform_surfels(frame.data, pose)  # [C, n_pix]
-    old = smap.data[:, jnp.where(is_winner, target, 0)]  # gather, [C, n_pix]
+    # old attrs come from the winning tap's attr image (gathered per pixel by
+    # the target id), transformed to the global frame per pixel — not from a
+    # per-surfel gather over the whole map
+    new_global = sm.transform_surfels(
+        cb(frame.data.reshape(sm.CHANNELS, h, w)).reshape(sm.CHANNELS, n_cb), pose
+    )
+    old_local = gather_attr_images(
+        index_map.data_local, cb(best_tgt)
+    ).reshape(sm.CHANNELS, n_cb)
+    old = sm.transform_surfels(old_local, pose)  # local -> global per pixel
 
     c_k = old[sm.CONF]
     a = new_global[sm.CONF]
@@ -167,7 +187,7 @@ def fuse(
     fused = sm.SurfelMap(data=data, count=smap.count)
 
     # --- append new unstable (data.vert updateId=2 -> newUnstableBuffer) --
-    new_mask = participate.reshape(n_pix) & ~merging
+    new_mask = cb(participate).reshape(n_cb) & ~merging
     return sm.append(fused, new_global, new_mask)
 
 
@@ -186,113 +206,118 @@ def clean(
 ) -> sm.SurfelMap:
     """Outlier cull + redundancy cull + compaction (copy_unstable.vert).
 
+    TPU restructure: the reference evaluates the window/see-through tests for
+    EVERY surfel at its projected pixel (a per-surfel gather storm). Here the
+    tests run in IMAGE space for each pixel's index-map winner (stencil rolls
+    over attribute images), and results scatter back to the winning surfel
+    ids. Surfels not visible in the index map this frame skip the visual
+    tests — they are exactly the surfels those tests cannot fire for anyway
+    (the redundancy/z-counts require the query to be in front of the mapped
+    surface, i.e. the pixel winner; see-through penalties likewise target the
+    front-most surfel) — and still receive the attribute-only culls.
+
     Deformation-graph application (nodeSampler path, copy_unstable.vert:140+)
     is layered separately: apply the graph to smap.data before calling clean.
     """
-    from multimotionfusion_tpu.utils import se3
-
     h, w = cam.height, cam.width
     cap = smap.capacity
-    data_local = sm.transform_surfels(smap.data, se3.inverse_T(pose))
-    lx, ly, lz = data_local[sm.PX], data_local[sm.PY], data_local[sm.PZ]
-    safe_z = jnp.where(lz > 0, lz, 1.0)
-    x = lx * cam.fx / safe_z + cam.cx
-    y = ly * cam.fy / safe_z + cam.cy
-    ui = jnp.rint(x).astype(jnp.int32)
-    vi = jnp.rint(y).astype(jnp.int32)
-    inb = (x > 0) & (y > 0) & (x < w) & (y < h) & (lz > 0)
     last_t = smap.data[sm.LAST_T]
-    init_t = smap.data[sm.INIT_T]
-    active = (time - last_t < time_delta) & inb  # outer gate, copy_unstable:66
 
-    nrm_local = data_local[sm.NORMAL]
-    nz_abs = jnp.abs(nrm_local[2])
-
-    # image-side candidate attributes (the surfels visible in the index map)
-    dl = index_map.data_local
     idx_img = index_map.index  # [H, W]
+    attrs = gather_attr_images(index_map.data_local, idx_img)  # [C, H, W]
+    qx, qy, qz = attrs[sm.PX], attrs[sm.PY], attrs[sm.PZ]
+    q_init = attrs[sm.INIT_T]
+    q_rad = attrs[sm.RADIUS]
+    q_nz = jnp.abs(attrs[sm.NZ])
+    has_winner = idx_img >= 0
 
-    ui_c = jnp.clip(ui, 0, w - 1)
-    vi_c = jnp.clip(vi, 0, h - 1)
-
-    count = jnp.zeros((cap,), jnp.int32)
-    z_count = jnp.zeros((cap,), jnp.int32)
+    count = jnp.zeros((h, w), jnp.int32)
+    z_count = jnp.zeros((h, w), jnp.int32)
     for dy, dx in _window_offsets(cfg.assoc_window):
-        cand = jnp.take(
-            _shift_with_invalid(idx_img, dy, dx, INVALID).reshape(-1),
-            vi_c * w + ui_c,
-        )
-        cvalid = (cand >= 0) & (cand != jnp.arange(cap)) & active
-        s = jnp.maximum(cand, 0)
-        czp = jnp.take(dl[sm.PZ], s)
-        cconf = jnp.take(dl[sm.CONF], s)
-        cinit = jnp.take(dl[sm.INIT_T], s)
-        clast = jnp.take(dl[sm.LAST_T], s)
-        cxp = jnp.take(dl[sm.PX], s)
-        cyp = jnp.take(dl[sm.PY], s)
-        xy_dist = jnp.sqrt((cxp - lx) ** 2 + (cyp - ly) ** 2)
+        cand = _shift_with_invalid(idx_img, dy, dx, INVALID)
+        cdat = jnp.roll(attrs, (-dy, -dx), axis=(1, 2))
+        cvalid = (cand >= 0) & (cand != idx_img) & has_winner
+        czp, cconf = cdat[sm.PZ], cdat[sm.CONF]
+        cinit, clast = cdat[sm.INIT_T], cdat[sm.LAST_T]
+        xy_dist = jnp.sqrt((cdat[sm.PX] - qx) ** 2 + (cdat[sm.PY] - qy) ** 2)
         # redundancy: older, confident, just behind, within radius
         red = (
             cvalid
-            & (cinit < init_t)
+            & (cinit < q_init)
             & (cconf > conf_threshold)
-            & (czp > lz)
-            & (czp - lz < 0.01)
-            & (xy_dist < smap.data[sm.RADIUS] * 1.4)
+            & (czp > qz)
+            & (czp - qz < 0.01)
+            & (xy_dist < q_rad * 1.4)
         )
         count = count + red.astype(jnp.int32)
         zc = (
             cvalid
             & (clast == time)
             & (cconf > conf_threshold)
-            & (czp > lz)
-            & (czp - lz > 0.01)
-            & (nz_abs > 0.85)
+            & (czp > qz)
+            & (czp - qz > 0.01)
+            & (q_nz > 0.85)
         )
         z_count = z_count + zc.astype(jnp.int32)
 
     # see-through violation vs the input depth, 3x3 (copy_unstable:101-110)
-    violations = jnp.zeros((cap,), jnp.int32)
-    viol_sum = jnp.zeros((cap,), jnp.float32)
+    violations = jnp.zeros((h, w), jnp.int32)
+    viol_sum = jnp.zeros((h, w), jnp.float32)
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
-            d = jnp.take(
-                _shift_with_invalid(depth_input, dy, dx, 0.0).reshape(-1),
-                vi_c * w + ui_c,
-            )
-            delta = d - lz
-            hit = active & (d > 0) & (delta > cfg.clean_see_through_gate)
+            d = _shift_with_invalid(depth_input, dy, dx, 0.0)
+            delta = d - qz
+            hit = has_winner & (d > 0) & (delta > cfg.clean_see_through_gate)
             violations = violations + hit.astype(jnp.int32)
             viol_sum = viol_sum + jnp.where(hit, delta, 0.0)
 
-    keep = jnp.ones((cap,), bool)
-    keep = keep & ~((count > 8) | (z_count > 4))
+    # per-pixel confidence penalty (copy_unstable:124-134)
+    viol = violations > 0
+    avg_v = viol_sum / jnp.maximum(violations.astype(jnp.float32), 1.0)
+    pen = jnp.where(viol, 1.0 / (1.0 + cfg.outlier_coeff * avg_v), 1.0)
+    mask_pen = (
+        viol
+        & (mask != mask_id)
+        & (depth_input > qz - 0.05)
+        & (depth_input < qz + 0.05)
+    )
+    pen = jnp.where(
+        mask_pen, pen * (0.5 + 0.5 * (1.0 - cfg.outlier_coeff / 10.0)), pen
+    )
+    cull_vis = has_winner & ((count > 8) | (z_count > 4))
+
+    # scatter per-pixel verdicts back to the winning surfels
+    ids = jnp.where(has_winner, idx_img, cap).reshape(-1)
+    cull_flags = (
+        jnp.zeros((cap + 1,), jnp.int32)
+        .at[ids]
+        .max(cull_vis.reshape(-1).astype(jnp.int32))[:cap]
+    )
+    pen_per_surfel = jnp.ones((cap + 1,), jnp.float32).at[ids].min(pen.reshape(-1))[:cap]
+
+    keep = smap.alive_mask() & (cull_flags == 0)
     # unstable-age cull: never reached confThreshold within the grace period
     unstable_dead = ((time - last_t) > cfg.unstable_grace) & (
         smap.data[sm.CONF] < conf_threshold
     )
     keep = keep & ~unstable_dead
     # inactive surfels are always kept (copy_unstable:122)
-    keep = keep | ((last_t > 0) & (time - last_t > time_delta))
-    keep = keep & smap.alive_mask()
-
-    # confidence penalties for violations (copy_unstable:124-134)
-    viol = violations > 0
-    avg_v = viol_sum / jnp.maximum(violations.astype(jnp.float32), 1.0)
-    conf = smap.data[sm.CONF]
-    conf = jnp.where(viol, conf / (1.0 + cfg.outlier_coeff * avg_v), conf)
-    centre_mask = jnp.take(mask.reshape(-1), vi_c * w + ui_c)
-    centre_depth = jnp.take(depth_input.reshape(-1), vi_c * w + ui_c)
-    mask_pen = (
-        viol
-        & (centre_mask != mask_id)
-        & (centre_depth > lz - 0.05)
-        & (centre_depth < lz + 0.05)
+    keep = keep | (
+        smap.alive_mask() & (last_t > 0) & (time - last_t > time_delta)
     )
-    conf = jnp.where(
-        mask_pen, conf * (0.5 + 0.5 * (1.0 - cfg.outlier_coeff / 10.0)), conf
-    )
-    data = smap.data.at[sm.CONF].set(conf)
 
-    packed, new_count = sm.compact(data, keep, cap)
+    data = smap.data.at[sm.CONF].mul(pen_per_surfel)
+    # cull = clear the ALIVE flag (elementwise); storage is repacked only by
+    # the occasional maintenance compaction (compact_map), not every frame
+    data = data.at[sm.ALIVE].set(jnp.where(keep, data[sm.ALIVE], 0.0))
+    return sm.SurfelMap(data=data, count=smap.count)
+
+
+def compact_map(smap: sm.SurfelMap) -> sm.SurfelMap:
+    """Maintenance pass: repack live surfels to the front of the storage.
+
+    Run when the high-water mark approaches capacity (host decision); the
+    reference instead streams + repacks the whole VBO every frame.
+    """
+    packed, new_count = sm.compact(smap.data, smap.alive_mask(), smap.capacity)
     return sm.SurfelMap(data=packed, count=new_count)

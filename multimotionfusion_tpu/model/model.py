@@ -44,7 +44,7 @@ def _init_map(
     return sm.init_from_frame(fs, capacity)
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+@functools.partial(jax.jit, static_argnames=("cam", "cfg", "bucket"))
 def _fuse_clean(
     smap: sm.SurfelMap,
     pose,
@@ -57,9 +57,19 @@ def _fuse_clean(
     weighting,
     cam: CameraModel,
     cfg: EngineConfig,
+    bucket: int,
 ):
-    """fuse + clean against a fresh index map each (MultiMotionFusion.cpp:791-817)."""
+    """fuse + clean (MultiMotionFusion.cpp:791-817), bucketed to the live size.
+
+    Perf deviations from the reference, both documented in fusion.py: the
+    clean pass reuses the pre-fuse index map instead of re-rendering it after
+    fuse (the reference renders twice; the only difference is that surfels
+    merged/appended THIS tick are judged by their pre-merge attributes — they
+    are one tick old and cannot be culled by any of the tests anyway), and
+    storage is only repacked by the occasional maintenance compaction.
+    """
     scfg = cfg.surfels
+    sub = smap.bucketed(bucket)
     vmap_raw = mapops.create_vmap(depth_raw, cam, scfg.depth_cutoff)
     vmap_f = mapops.create_vmap(depth_filt, cam, scfg.depth_cutoff)
     nmap_f = mapops.create_nmap(vmap_f)
@@ -67,19 +77,18 @@ def _fuse_clean(
         rgb, vmap_raw, vmap_f, nmap_f, cam, time, scfg.depth_cutoff, weighting
     )
     im = rasterize.predict_indices(
-        smap, pose, cam, time, scfg.time_delta, scfg.depth_cutoff
+        sub, pose, cam, time, scfg.time_delta, scfg.depth_cutoff
     )
-    fused = fusion.fuse(smap, fs, im, mask, mask_id, pose, cam, time, scfg)
-    im2 = rasterize.predict_indices(
-        fused, pose, cam, time, scfg.time_delta, scfg.depth_cutoff
-    )
-    return fusion.clean(
-        fused, im2, depth_filt, mask, mask_id, pose, cam,
+    fused = fusion.fuse(sub, fs, im, mask, mask_id, pose, cam, time, scfg)
+    cleaned = fusion.clean(
+        fused, im, depth_filt, mask, mask_id, pose, cam,
         time, scfg.time_delta, scfg.conf_threshold, scfg,
     )
+    data = smap.data.at[:, :bucket].set(cleaned.data)
+    return sm.SurfelMap(data=data, count=cleaned.count)
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+@functools.partial(jax.jit, static_argnames=("cam", "cfg", "bucket"))
 def _predict_fillin(
     smap: sm.SurfelMap,
     pose,
@@ -89,12 +98,13 @@ def _predict_fillin(
     max_time,
     cam: CameraModel,
     cfg: EngineConfig,
+    bucket: int,
     passthrough=False,
 ):
     """combinedPredict(ACTIVE) + performFillIn (MultiMotionFusion.cpp:863-875)."""
     scfg = cfg.surfels
     pred = rasterize.splat_predict(
-        smap, pose, cam, scfg.conf_threshold, time, max_time,
+        smap.bucketed(bucket), pose, cam, scfg.conf_threshold, time, max_time,
         scfg.time_delta, scfg.depth_cutoff, scfg.splat_footprint,
     )
     vmap_f = mapops.create_vmap(depth_filt, cam, scfg.depth_cutoff)
@@ -102,6 +112,14 @@ def _predict_fillin(
     conf = sm.pixel_confidence(cam, 1.0)
     rad = sm.radius_from_depth(vmap_f[..., 2], nmap_f[..., 2], cam)
     return pred, fill_in(pred, rgb, vmap_f, nmap_f, conf, rad, passthrough)
+
+
+def _bucket_for(n: int, capacity: int, floor: int = 1 << 15) -> int:
+    """Smallest power-of-two bucket >= n (host-side; one jit cache per size)."""
+    b = floor
+    while b < n:
+        b <<= 1
+    return min(b, capacity)
 
 
 class Model:
@@ -112,6 +130,7 @@ class Model:
         self.cfg = cfg
         self.capacity = capacity or cfg.surfels.max_surfels
         self.smap = sm.empty(self.capacity)
+        self.hwm = 0  # host mirror of smap.count (high-water mark)
         self.pose = jnp.eye(4, dtype=jnp.float32)
         self.pose_log: List[Tuple[int, np.ndarray]] = []  # (timestamp, pose 4x4)
         self.filled: Optional[FilledMaps] = None  # prediction for next tracking
@@ -120,12 +139,19 @@ class Model:
         self.unseen_count = 0
         self.age = 0  # frames since creation
 
+    def _sync_hwm(self):
+        self.hwm = int(self.smap.count)
+        if self.hwm > 0.95 * self.capacity:
+            self.smap = fusion.compact_map(self.smap)
+            self.hwm = int(self.smap.count)
+
     # -- lifecycle ---------------------------------------------------------
 
     def initialise(self, rgb, depth_raw, depth_filt, time: int, cam: CameraModel):
         self.smap = _init_map(
             rgb, depth_raw, depth_filt, time, cam, self.cfg, self.capacity
         )
+        self._sync_hwm()
 
     def last_transform(self) -> jnp.ndarray:
         """Relative motion over the last frame (Model::getLastTransform)."""
@@ -174,15 +200,21 @@ class Model:
         cam: CameraModel, weight_multiplier: float = 1.0,
     ):
         w = self.compute_fusion_weight(weight_multiplier)
+        # headroom for this frame's appends: at most 1/4 of the pixels
+        # participate (checkerboard gate in fuse)
+        n_pix = cam.width * cam.height
+        bucket = _bucket_for(self.hwm + n_pix // 4 + 1, self.capacity)
         self.smap = _fuse_clean(
             self.smap, self.pose, rgb, depth_raw, depth_filt, mask,
-            self.id, time, w, cam, self.cfg,
+            self.id, time, w, cam, self.cfg, bucket,
         )
+        self._sync_hwm()
 
     def predict(self, rgb, depth_filt, time: int, cam: CameraModel, lost=False):
+        bucket = _bucket_for(self.hwm, self.capacity)
         self.pred, self.filled = _predict_fillin(
             self.smap, self.pose, rgb, depth_filt,
-            0 if lost else time, time, cam, self.cfg,
+            0 if lost else time, time, cam, self.cfg, bucket,
             passthrough=self.cfg.frame_to_frame_rgb,
         )
 
@@ -192,12 +224,14 @@ class Model:
     # -- export ------------------------------------------------------------
 
     def surfel_count(self) -> int:
-        return int(self.smap.count)
+        """Number of LIVE surfels (flag-based; hwm counts used slots)."""
+        return int(self.smap.alive_count())
 
     def download(self) -> dict:
         """Host copy of the live surfels (Model::downloadMap, Model.cpp:1353-1384)."""
-        n = self.surfel_count()
-        d = np.asarray(self.smap.data[:, :n])
+        d = np.asarray(self.smap.data[:, : max(self.hwm, 1)])
+        alive = d[sm.ALIVE] > 0
+        d = d[:, alive]
         return {
             "position": d[sm.POS].T,
             "confidence": d[sm.CONF],

@@ -35,6 +35,7 @@ PX, PY, PZ, CONF = 0, 1, 2, 3
 CR, CG, CB = 4, 5, 6
 INIT_T, LAST_T = 7, 8
 NX, NY, NZ, RADIUS = 9, 10, 11, 12
+ALIVE = 13  # 1.0 = live, 0.0 = culled/free (cleared by clean, elementwise)
 CHANNELS = 16  # padded to a power of two
 
 POS = slice(PX, PZ + 1)
@@ -43,17 +44,34 @@ NORMAL = slice(NX, NZ + 1)
 
 
 class SurfelMap(NamedTuple):
-    """One rigid body's dense map (reference Model's vbos[2], Model.h:361-363)."""
+    """One rigid body's dense map (reference Model's vbos[2], Model.h:361-363).
+
+    ``count`` is the high-water mark: slots [0, count) have ever been used;
+    a slot is live iff its ALIVE channel is set. Culls clear the flag
+    (elementwise — cheap every frame); `compact` repacks the prefix and is a
+    rare maintenance pass, NOT a per-frame cost like the reference's
+    copy_unstable transform-feedback stream. Callers can slice work to
+    data[:, :bucket] with a host-chosen power-of-two bucket >= count so
+    scatter/gather costs track the live size, not the capacity.
+    """
 
     data: jnp.ndarray  # [CHANNELS, capacity] float32
-    count: jnp.ndarray  # [] int32, number of live surfels
+    count: jnp.ndarray  # [] int32, high-water mark
 
     @property
     def capacity(self) -> int:
         return self.data.shape[1]
 
     def alive_mask(self) -> jnp.ndarray:
-        return jnp.arange(self.capacity, dtype=jnp.int32) < self.count
+        in_prefix = jnp.arange(self.capacity, dtype=jnp.int32) < self.count
+        return in_prefix & (self.data[ALIVE] > 0)
+
+    def alive_count(self) -> jnp.ndarray:
+        return jnp.sum(self.alive_mask().astype(jnp.int32))
+
+    def bucketed(self, bucket: int) -> "SurfelMap":
+        """View of the first `bucket` slots (requires count <= bucket)."""
+        return SurfelMap(data=self.data[:, :bucket], count=self.count)
 
     def positions(self) -> jnp.ndarray:
         return self.data[POS]  # [3, capacity]
@@ -135,16 +153,26 @@ def compute_frame_surfels(
     data = data.at[NY].set(flat(nmap_filt[..., 1]))
     data = data.at[NZ].set(flat(nmap_filt[..., 2]))
     data = data.at[RADIUS].set(flat(rad))
+    data = data.at[ALIVE].set(valid.reshape(n).astype(jnp.float32))
     return FrameSurfels(data=data, valid=flat(valid))
 
 
 def transform_surfels(data: jnp.ndarray, T: jnp.ndarray) -> jnp.ndarray:
-    """Rigidly transform surfel positions and rotate normals ([C, N] layout)."""
+    """Rigidly transform surfel positions and rotate normals ([C, N] layout).
+
+    Written as per-row FMAs on 1D lanes, NOT `R @ data[POS]`: multi-row slices
+    and [3, N] matmuls on a [16, N] array force sublane-misaligned relayouts
+    on TPU (~200x slower than the equivalent row-wise arithmetic).
+    """
     R = T[:3, :3].astype(data.dtype)
     t = T[:3, 3].astype(data.dtype)
-    pos = R @ data[POS] + t[:, None]
-    nrm = R @ data[NORMAL]
-    return data.at[POS].set(pos).at[NORMAL].set(nrm)
+    px, py, pz = data[PX], data[PY], data[PZ]
+    nx, ny, nz = data[NX], data[NY], data[NZ]
+    out = data
+    for i, (row_p, row_n) in enumerate(((PX, NX), (PY, NY), (PZ, NZ))):
+        out = out.at[row_p].set(R[i, 0] * px + R[i, 1] * py + R[i, 2] * pz + t[i])
+        out = out.at[row_n].set(R[i, 0] * nx + R[i, 1] * ny + R[i, 2] * nz)
+    return out
 
 
 def compact(

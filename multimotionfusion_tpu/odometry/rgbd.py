@@ -130,13 +130,68 @@ def clamp_step(x: jnp.ndarray, max_trans: float = 0.1, max_rot: float = 0.1) -> 
     return x * scale
 
 
+def pack_bilinear_bank(maps: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Pre-shift the four bilinear taps of a set of maps into one wide array.
+
+    TPU gathers cost ~2-3 ms per 300k indices regardless of how few channels
+    they fetch, so sampling k maps bilinearly as separate ops costs 4k gathers
+    per GN iteration (the dominant cost of the reference-shaped solver on
+    TPU). Packing maps and their (+1,0),(0,+1),(+1,+1) shifts channel-wise —
+    shifts are loop-invariant and hoisted — lets each iteration fetch ALL taps
+    of ALL maps with ONE gather. Returns [H, W, 4*C].
+    """
+    chans = [m if m.ndim == 3 else m[..., None] for m in maps]
+    base = jnp.concatenate(chans, axis=-1)
+    t01 = jnp.pad(base[:, 1:], ((0, 0), (0, 1), (0, 0)))
+    t10 = jnp.pad(base[1:], ((0, 1), (0, 0), (0, 0)))
+    t11 = jnp.pad(base[1:, 1:], ((0, 1), (0, 1), (0, 0)))
+    return jnp.concatenate([base, t01, t10, t11], axis=-1)
+
+
+def bilinear_taps(bank: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, c: int):
+    """One-gather bilinear tap fetch from a pack_bilinear_bank array.
+
+    Returns (taps [4][H,W,c], wu, wv in [0,1), in_bounds)."""
+    h, w = bank.shape[:2]
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    u0i = u0.astype(jnp.int32)
+    v0i = v0.astype(jnp.int32)
+    inb = (u0i >= 0) & (v0i >= 0) & (u0i < w - 1) & (v0i < h - 1)
+    u0c = jnp.clip(u0i, 0, w - 2)
+    v0c = jnp.clip(v0i, 0, h - 2)
+    g = bank[v0c, u0c]  # ONE gather: [H, W, 4c]
+    taps = [g[..., i * c : (i + 1) * c] for i in range(4)]
+    return taps, (u - u0), (v - v0), inb
+
+
+def _interp_valid(taps, fu, fv, inb, sl: slice):
+    """Bilinear blend of one channel-slice; valid iff all four taps nonzero."""
+    t00, t01, t10, t11 = (t[..., sl] for t in taps)
+    ok = (
+        inb
+        & jnp.any(t00 != 0, -1)
+        & jnp.any(t01 != 0, -1)
+        & jnp.any(t10 != 0, -1)
+        & jnp.any(t11 != 0, -1)
+    )
+    fuc = fu[..., None]
+    fvc = fv[..., None]
+    val = (
+        t00 * (1 - fuc) * (1 - fvc)
+        + t01 * fuc * (1 - fvc)
+        + t10 * (1 - fuc) * fvc
+        + t11 * fuc * fvc
+    )
+    return jnp.where(ok[..., None], val, 0.0), ok
+
+
 def icp_system(
     T_wc: jnp.ndarray,
     T_prev: jnp.ndarray,
     vmap_curr: jnp.ndarray,
     nmap_curr: jnp.ndarray,
-    vmap_prev_g: jnp.ndarray,
-    nmap_prev_g: jnp.ndarray,
+    prev_bank: jnp.ndarray,  # pack_bilinear_bank([vmap_prev_g, nmap_prev_g])
     cam: CameraModel,
     dist_thresh: float,
     angle_thresh: float,
@@ -161,11 +216,13 @@ def icp_system(
     safe_z = jnp.where(z != 0, z, 1.0)
     # sub-pixel projective association: bilinear (validity-gated) instead of
     # the reference's __float2int_rn nearest-pixel gather — see
-    # maps.bilinear_sample_valid for why
+    # maps.bilinear_sample_valid for why; fetched with ONE gather per
+    # iteration via the pre-shifted tap bank
     uf = vcurr_cp[..., 0] * cam.fx / safe_z + cam.cx
     vf = vcurr_cp[..., 1] * cam.fy / safe_z + cam.cy
-    vprev_g, vprev_ok = mapops.bilinear_sample_valid(vmap_prev_g, uf, vf)
-    nprev_g, nprev_ok = mapops.bilinear_sample_valid(nmap_prev_g, uf, vf)
+    taps, fu, fv, inb = bilinear_taps(prev_bank, uf, vf, 6)
+    vprev_g, vprev_ok = _interp_valid(taps, fu, fv, inb, slice(0, 3))
+    nprev_g, nprev_ok = _interp_valid(taps, fu, fv, inb, slice(3, 6))
     nprev_norm = jnp.linalg.norm(nprev_g, axis=-1, keepdims=True)
     nprev_g = nprev_g / jnp.maximum(nprev_norm, 1e-12)
     in_bounds = vprev_ok & nprev_ok & (z > 0) & v_valid
@@ -201,29 +258,16 @@ def icp_system(
     return S, count, err_img
 
 
-def rgb_correspondences(
-    level: LevelData,
-    KRK_inv: jnp.ndarray,
-    Kt: jnp.ndarray,
-    min_scale: float,
-    max_depth_delta: float,
-    cam: CameraModel,
-    mask_id,
-    use_mask: bool,
-):
-    """Photometric correspondence field (residualKernel, reduce.cu:759-839).
-
-    Returns (valid [H,W], cp [H,W,3] last-camera-frame 3D points of the
-    correspondence, diff [H,W], sigma_sum scalar, count scalar, error image).
-    Deviates from the reference by warping with continuous coordinates and
-    bilinear sampling — the reference's integer warp quantises the photometric
-    residual to whole pixels, making sub-pixel motion invisible to the RGB term.
-    """
+def rgb_static_valid(
+    level: LevelData, min_scale: float, mask_id, use_mask: bool
+) -> jnp.ndarray:
+    """Iteration-invariant part of the photometric validity (hoisted out of
+    the GN loop): 4x4 neighbourhood support, gradient-magnitude gate, valid
+    depth, borders (residualKernel, reduce.cu:770-800)."""
     h, w = level.img_next.shape
     xg = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
     yg = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
 
-    # 4x4 neighbourhood validity: nextImage > 0 (and mask agreement)
     ok = level.img_next > 0
     if use_mask:
         ok = ok & (level.mask_next == mask_id)
@@ -246,12 +290,33 @@ def rgb_correspondences(
     tap_count = win_sum(jnp.ones_like(okf))
     valid = neigh >= tap_count - 1e-3
     valid = valid & (xg < w - 5) & (yg < h - 1)
-
     m2 = level.didx**2 + level.didy**2
     valid = valid & (m2 >= min_scale)
+    return valid & (level.depth_next > 0)
 
+
+def rgb_correspondences(
+    level: LevelData,
+    static_valid: jnp.ndarray,  # rgb_static_valid(...)
+    rgb_bank: jnp.ndarray,  # pack_bilinear_bank([depth_last, img_last])
+    KRK_inv: jnp.ndarray,
+    Kt: jnp.ndarray,
+    max_depth_delta: float,
+    cam: CameraModel,
+):
+    """Photometric correspondence field (residualKernel, reduce.cu:759-839).
+
+    Returns (valid [H,W], cp [H,W,3] last-camera-frame 3D points of the
+    correspondence, diff [H,W], sigma_sum scalar, count scalar, error image).
+    Deviates from the reference by warping with continuous coordinates and
+    bilinear sampling — the reference's integer warp quantises the photometric
+    residual to whole pixels, making sub-pixel motion invisible to the RGB term.
+    """
+    h, w = level.img_next.shape
+    xg = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
+    yg = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
+    valid = static_valid
     d1 = level.depth_next
-    valid = valid & (d1 > 0)
 
     td1 = d1 * (KRK_inv[2, 0] * xg + KRK_inv[2, 1] * yg + KRK_inv[2, 2]) + Kt[2]
     safe_td1 = jnp.where(td1 != 0, td1, 1.0)
@@ -262,8 +327,11 @@ def rgb_correspondences(
         d1 * (KRK_inv[1, 0] * xg + KRK_inv[1, 1] * yg + KRK_inv[1, 2]) + Kt[1]
     ) / safe_td1
 
-    d0, d0_ok = mapops.bilinear_sample_valid(level.depth_last, u0, v0)
-    img0, img0_ok = mapops.bilinear_sample_valid(level.img_last, u0, v0)
+    taps, fu, fv, inb = bilinear_taps(rgb_bank, u0, v0, 2)
+    d0c, d0_ok = _interp_valid(taps, fu, fv, inb, slice(0, 1))
+    img0c, img0_ok = _interp_valid(taps, fu, fv, inb, slice(1, 2))
+    d0 = d0c[..., 0]
+    img0 = img0c[..., 0]
     valid = (
         valid & d0_ok & img0_ok & (jnp.abs(td1 - d0) <= max_depth_delta)
     )
@@ -325,9 +393,18 @@ def rgb_system(
     return _system_from_rows(rows)
 
 
+def central_grads(img: jnp.ndarray):
+    """(d/dx, d/dy) central differences, positive leftward/upward like the
+    reference's inline SO3 gradient (reduce.cu:1010-1020)."""
+    gx = (jnp.pad(img, ((0, 0), (1, 0)))[:, :-1] - jnp.pad(img, ((0, 0), (0, 1)))[:, 1:]) * 0.5
+    gy = (jnp.pad(img, ((1, 0), (0, 0)))[:-1] - jnp.pad(img, ((0, 1), (0, 0)))[1:]) * 0.5
+    return gx, gy
+
+
 def so3_system(
     last_img: jnp.ndarray,
-    next_img: jnp.ndarray,
+    so3_bank: jnp.ndarray,  # pack_bilinear_bank([next_img, ngx, ngy])
+    last_grads,
     image_basis: jnp.ndarray,
     kinv: jnp.ndarray,
     krlr: jnp.ndarray,
@@ -362,16 +439,18 @@ def so3_system(
     )
 
     # ESM gradient: average of last-image gradient (at the pixel) and
-    # next-image gradient (bilinear at the warped position)
-    def central_grads(img):
-        gx = (jnp.pad(img, ((0, 0), (1, 0)))[:, :-1] - jnp.pad(img, ((0, 0), (0, 1)))[:, 1:]) * 0.5
-        gy = (jnp.pad(img, ((1, 0), (0, 0)))[:-1] - jnp.pad(img, ((0, 1), (0, 0)))[1:]) * 0.5
-        return gx, gy
-
-    ngx, ngy = central_grads(next_img)
-    lgx, lgy = central_grads(last_img)
-    gx = (imops.bilinear_sample(ngx, wu, wv) + lgx) * 0.5
-    gy = (imops.bilinear_sample(ngy, wu, wv) + lgy) * 0.5
+    # next-image gradient (bilinear at the warped position); one gather
+    taps, fu, fv, inb = bilinear_taps(so3_bank, wu, wv, 3)
+    fuc, fvc = fu[..., None], fv[..., None]
+    warped = (
+        taps[0] * (1 - fuc) * (1 - fvc)
+        + taps[1] * fuc * (1 - fvc)
+        + taps[2] * (1 - fuc) * fvc
+        + taps[3] * fuc * fvc
+    )
+    lgx, lgy = last_grads
+    gx = (warped[..., 1] + lgx) * 0.5
+    gy = (warped[..., 2] + lgy) * 0.5
 
     # point = K^-1 [x, y, 1]
     pt = jnp.stack(
@@ -395,7 +474,7 @@ def so3_system(
         axis=-1,
     )
     jac = jnp.cross(left, pt)
-    resid = -(imops.bilinear_sample(next_img, wu, wv) - last_img)
+    resid = -(warped[..., 0] - last_img)
 
     rows = jnp.concatenate([jac, resid[..., None]], axis=-1)
     rows = jnp.where(found[..., None], rows, 0.0).reshape(-1, 4)
@@ -457,12 +536,16 @@ def get_incremental_transformation(
         K = _K(cam_l)
         Kinv = _K_inv(cam_l)
         big = jnp.array(3.4e38 / 2, f32)
+        # loop-invariant sampling bank: next image + its gradients, pre-shifted
+        ngx, ngy = central_grads(levels[lvl].img_next)
+        so3_bank = pack_bilinear_bank([levels[lvl].img_next, ngx, ngy])
+        last_grads = central_grads(last_next_img_l2)
 
         def so3_body(_, carry):
             R, last_err, last_count, last_R, done, fin_err, fin_count = carry
             basis = K @ R @ Kinv
             krlr = K @ R
-            S, cnt = so3_system(last_next_img_l2, levels[lvl].img_next, basis, Kinv, krlr)
+            S, cnt = so3_system(last_next_img_l2, so3_bank, last_grads, basis, Kinv, krlr)
             cntf = cnt.astype(f32)
             err = jnp.sqrt(S[3, 3]) / jnp.maximum(cntf, 1.0)
 
@@ -522,9 +605,21 @@ def get_incremental_transformation(
         level = levels[i]
         # minScale = (minGradMag^2) / sobelScale^2 (RGBDOdometry.cpp:365)
         min_scale = (cfg.min_grad_magnitudes[i] ** 2) / (cfg.sobel_scale**2)
+        # loop-invariant sampling banks + static validity, hoisted so each GN
+        # iteration costs ONE gather per term instead of 4 per sampled map
+        prev_bank = pack_bilinear_bank([level.vmap_prev, level.nmap_prev]) if use_icp else None
+        rgb_bank = (
+            pack_bilinear_bank([level.depth_last, level.img_last]) if use_rgb else None
+        )
+        static_valid = (
+            rgb_static_valid(level, min_scale, mask_id, cfg.mask_rgb)
+            if use_rgb
+            else None
+        )
 
         def level_body(j, carry, level=level, cam_l=cam_l, K=K, Kinv=Kinv,
-                       min_scale=min_scale, i=i, iters=iters):
+                       prev_bank=prev_bank, rgb_bank=rgb_bank,
+                       static_valid=static_valid, i=i, iters=iters):
             (result_Rt, icp_err, icp_count, rgb_err, rgb_count, lastA, lastb,
              last_rgb_err, stopped, icp_img, rgb_img) = carry
 
@@ -538,8 +633,8 @@ def get_incremental_transformation(
             rgb_img_new = rgb_img
             if use_rgb:
                 valid, cp, diff, sigma, cnt, err_img = rgb_correspondences(
-                    level, KRK_inv, Kt, min_scale, cfg.max_depth_delta_rgb,
-                    cam_l, mask_id, cfg.mask_rgb,
+                    level, static_valid, rgb_bank, KRK_inv, Kt,
+                    cfg.max_depth_delta_rgb, cam_l,
                 )
                 rgb_size = cnt.astype(f32)
                 if i == 0:
@@ -565,8 +660,7 @@ def get_incremental_transformation(
             if use_icp:
                 S_icp, icp_cnt, err_img_icp = icp_system(
                     T_cur, T_prev, level.vmap_curr, level.nmap_curr,
-                    level.vmap_prev, level.nmap_prev, cam_l,
-                    cfg.dist_thresh, cfg.angle_thresh,
+                    prev_bank, cam_l, cfg.dist_thresh, cfg.angle_thresh,
                 )
                 if i == 0:
                     icp_img_new = err_img_icp

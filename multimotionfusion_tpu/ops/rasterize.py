@@ -55,6 +55,18 @@ class IndexMap(NamedTuple):
         return jnp.where(self.index >= 0, img, 0.0)
 
 
+def gather_attr_images(data_local: jnp.ndarray, index: jnp.ndarray) -> jnp.ndarray:
+    """[CHANNELS, H, W] winner-surfel attributes per pixel (zeros where none).
+
+    One gather with pixel-count indices; all window/stencil logic downstream
+    then runs on [H, W] images, which XLA fuses into stencil loops — per-tap
+    per-SURFEL gathers (1M indices x 16 channels) cost ~30 ms each on TPU,
+    per-pixel attr images make the same taps effectively free.
+    """
+    img = data_local[:, jnp.maximum(index, 0)]
+    return jnp.where((index >= 0)[None], img, 0.0)
+
+
 def _project_pixels(data_local: jnp.ndarray, cam: CameraModel, scale: int):
     """Project camera-frame surfel centres to integer pixels at `scale`."""
     x, y, z = data_local[sm.PX], data_local[sm.PY], data_local[sm.PZ]
@@ -132,7 +144,7 @@ def splat_predict(
     """Surfel splatting (splat.vert gates + combo_splat.frag ray-disk resolve).
 
     Gates (splat.vert:40): drop if z > maxDepth, z < 0, conf < confThreshold,
-    time - last_update > timeDelta, or last_update > maxTime. The active /
+    time - time_delta > last_update, or last_update > maxTime. The active /
     inactive ("old") prediction variants of the reference are this function
     called with different (time, max_time, time_delta) windows.
     """
@@ -151,6 +163,35 @@ def splat_predict(
     )
     u, v, inb = _project_pixels(data_local, cam, 1)
     centre_idx, _ = _zmin_scatter(u, v, z, ok & inb, h, w)
+    im = IndexMap(index=centre_idx, data_local=data_local)
+    return splat_resolve(
+        im, cam, conf_threshold, time, max_time, time_delta, window,
+        pre_gated=True,
+    )
+
+
+def splat_resolve(
+    index_map: IndexMap,
+    cam: CameraModel,
+    conf_threshold,
+    time,
+    max_time,
+    time_delta,
+    window: int = 5,
+    pre_gated: bool = False,
+) -> PredictedMaps:
+    """combo_splat.frag ray-disk resolve over an existing index map.
+
+    With pre_gated=False this reuses the data-association index map (which has
+    NO confidence gate) and applies the splat.vert gates per candidate inside
+    the resolve instead — saving a whole scatter pass per frame. The only
+    semantic difference from a dedicated gated z-min render: a gated-out
+    surfel can occupy a centre pixel and shadow a gated-in one exactly behind
+    it; neighbouring pixels' candidates almost always cover such pixels.
+    """
+    h, w = cam.height, cam.width
+    data_local = index_map.data_local
+    centre_idx = index_map.index
 
     # --- neighbourhood resolve (combo_splat.frag) -------------------------
     ys = jnp.arange(h, dtype=jnp.float32)[:, None]
@@ -160,9 +201,9 @@ def splat_predict(
     lnorm = jnp.sqrt(lx * lx + ly * ly + 1.0)
     l0, l1, l2 = lx / lnorm, ly / lnorm, 1.0 / lnorm  # unit pixel ray
 
-    px, py, pz = data_local[sm.PX], data_local[sm.PY], data_local[sm.PZ]
-    nx, ny, nz = data_local[sm.NX], data_local[sm.NY], data_local[sm.NZ]
-    rad = data_local[sm.RADIUS]
+    # per-pixel winner attributes, then every tap is a stencil roll of images
+    # (fused by XLA into one loop; no per-surfel gathers in the tap loop)
+    attrs = gather_attr_images(data_local, centre_idx)  # [CHANNELS, H, W]
 
     best_z = jnp.full((h, w), _BIG)
     best_idx = jnp.full((h, w), INVALID)
@@ -170,6 +211,7 @@ def splat_predict(
     for dy in range(-r, window - r):
         for dx in range(-r, window - r):
             cand = jnp.roll(centre_idx, (-dy, -dx), axis=(0, 1))
+            cdat = jnp.roll(attrs, (-dy, -dx), axis=(1, 2))
             # border rolls wrap; invalidate wrapped rows/cols
             if dy > 0:
                 cand = cand.at[h - dy :, :].set(INVALID)
@@ -180,10 +222,16 @@ def splat_predict(
             elif dx < 0:
                 cand = cand.at[:, : -dx].set(INVALID)
             cvalid = cand >= 0
-            s = jnp.maximum(cand, 0)
-            cpx, cpy, cpz = jnp.take(px, s), jnp.take(py, s), jnp.take(pz, s)
-            cnx, cny, cnz = jnp.take(nx, s), jnp.take(ny, s), jnp.take(nz, s)
-            crad = jnp.take(rad, s)
+            if not pre_gated:
+                cvalid = (
+                    cvalid
+                    & (cdat[sm.CONF] >= conf_threshold)
+                    & (time - cdat[sm.LAST_T] <= time_delta)
+                    & (cdat[sm.LAST_T] <= max_time)
+                )
+            cpx, cpy, cpz = cdat[sm.PX], cdat[sm.PY], cdat[sm.PZ]
+            cnx, cny, cnz = cdat[sm.NX], cdat[sm.NY], cdat[sm.NZ]
+            crad = cdat[sm.RADIUS]
             # ray-plane intersection: t = dot(p, n) / dot(l, n); hit = t * l
             ln = l0 * cnx + l1 * cny + l2 * cnz
             pn = cpx * cnx + cpy * cny + cpz * cnz
@@ -196,10 +244,10 @@ def splat_predict(
             best_idx = jnp.where(closer, cand, best_idx)
 
     valid = best_idx >= 0
-    safe = jnp.maximum(best_idx, 0)
+    win = gather_attr_images(data_local, best_idx)  # one gather for the winners
 
     def g(ch):
-        return jnp.where(valid, jnp.take(data_local[ch], safe), 0.0)
+        return jnp.where(valid, win[ch], 0.0)
 
     # vertex = corrected position along the pixel ray (combo_splat.frag:
     # vertexConf.xyz is re-derived from gl_FragCoord and the corrected depth)
@@ -209,7 +257,7 @@ def splat_predict(
     color = jnp.stack([g(sm.CR), g(sm.CG), g(sm.CB)], axis=-1)
     vertex_conf = jnp.stack([vx, vy, zc, g(sm.CONF)], axis=-1)
     normal_rad = jnp.stack([g(sm.NX), g(sm.NY), g(sm.NZ), g(sm.RADIUS)], axis=-1)
-    tmap = jnp.where(valid, jnp.take(data_local[sm.INIT_T], safe), 0.0)
+    tmap = jnp.where(valid, win[sm.INIT_T], 0.0)
     return PredictedMaps(
         color=color,
         vertex_conf=vertex_conf,

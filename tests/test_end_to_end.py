@@ -63,8 +63,8 @@ def test_surfel_count_stable_on_static_scene():
     engine = _engine()
     counts = []
     for frame in reader:
-        stats = engine.process_frame(frame)
-        counts.append(stats["surfels"])
+        engine.process_frame(frame)
+        counts.append(engine.current_stats(sync=True)["surfels"])
     # static camera: map must not grow materially after initialisation
     assert counts[-1] < counts[0] * 1.05
 

@@ -127,6 +127,7 @@ def _plant_phantom(smap, depth):
     phantom[sm.LAST_T] = 1.0
     phantom[sm.RADIUS] = 0.01
     phantom[sm.NZ] = -1.0
+    phantom[sm.ALIVE] = 1.0
     data = smap.data.at[:, n0].set(jnp.asarray(phantom))
     return sm.SurfelMap(data=data, count=jnp.int32(n0 + 1)), n0
 
@@ -144,12 +145,11 @@ def test_clean_penalises_free_space_violations():
         time=2, time_delta=200, conf_threshold=10.0, cfg=CFG,
     )
     # young surfels all survive (age < unstable_grace)...
-    assert int(cleaned.count) == n0 + 1
+    assert int(cleaned.alive_count()) == n0 + 1
     # ...but the phantom sees the wall 0.5 m behind it from every neighbouring
     # pixel, so its confidence takes the 1/(1 + outlierCoeff*violation) hit
-    conf = np.asarray(cleaned.data[sm.CONF, : n0 + 1])
-    pz = np.asarray(cleaned.data[sm.PZ, : n0 + 1])
-    phantom_conf = conf[np.argmin(np.abs(pz - np.asarray(smap.data[sm.PZ, n0])))]
+    # (storage is flag-based, not compacted, so the phantom stays at slot n0)
+    phantom_conf = float(cleaned.data[sm.CONF, n0])
     assert phantom_conf < 1.0 / (1.0 + CFG.outlier_coeff * 0.4)
 
 
@@ -171,8 +171,8 @@ def test_clean_unstable_age_cull():
         time=25, time_delta=200, conf_threshold=10.0, cfg=CFG,
     )
     # surfels that never reached conf_threshold within the grace period die;
-    # the promoted ones survive
-    assert int(cleaned.count) == half
+    # the promoted ones survive (flag-cleared, not compacted)
+    assert int(cleaned.alive_count()) == half
 
 
 def test_fill_in_passthrough_and_holes():
