@@ -23,6 +23,7 @@ def main() -> int:
     cfg = EngineConfig(
         camera=cam,
         enable_multi_model=False,
+        odom_init="",  # "-static" = ElasticFusion mode: dense tracking only
         surfels=SurfelConfig(max_surfels=1 << 20),
     )
     n_frames = 25

@@ -123,6 +123,21 @@ class KeypointConfig:
     prune_max_age_s: float = 1.0
     detect_threshold: float = 0.015
     nms_radius: int = 4
+    # "superpoint" needs weights_path (TorchScript SuperPointNet.pt, the
+    # reference's model); "patch" is the weights-free fallback detector
+    detector: str = "patch"
+    weights_path: str = ""
+
+    @property
+    def desc_dim(self) -> int:
+        return 256 if self.detector == "superpoint" else 64
+
+    @property
+    def patch_gate(self) -> float:
+        """Distance gate adjusted per descriptor family: SuperPoint's 0.7 is
+        tuned for unit 256-d descriptors; zero-mean unit patches discriminate
+        at a larger radius."""
+        return self.match_dist_gate if self.detector == "superpoint" else 1.0
 
 
 @dataclasses.dataclass(frozen=True)

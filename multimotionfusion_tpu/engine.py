@@ -38,6 +38,8 @@ from multimotionfusion_tpu.odometry import rgbd
 from multimotionfusion_tpu.ops import image as imops
 from multimotionfusion_tpu.ops import maps as mapops
 from multimotionfusion_tpu.ops import rasterize
+from multimotionfusion_tpu.ops import ransac as ransac_ops
+from multimotionfusion_tpu.tracking import superpoint, tracker
 from multimotionfusion_tpu.utils import se3
 
 # stat vector slots returned by the fused frame step
@@ -52,6 +54,22 @@ class GlobalState(NamedTuple):
     prev_pose: jnp.ndarray  # pose one frame earlier (fusion weighting)
     filled: FilledMaps  # prediction for the next frame's tracking
     last_intensity_coarse: jnp.ndarray  # previous frame coarse intensity (SO3)
+    tracks: tracker.TrackTable  # keypoint track table (sparse pipeline)
+    rng: jnp.ndarray  # PRNG key (RANSAC sampling)
+
+
+def _detect_keypoints(intensity, cfg: EngineConfig, sp_params):
+    kcfg = cfg.keypoints
+    if cfg.odom_init != "kp" and not cfg.enable_multi_model:
+        return None
+    if kcfg.detector == "superpoint":
+        return superpoint.superpoint_detect(
+            sp_params, intensity, kcfg.max_keypoints,
+            kcfg.detect_threshold, kcfg.nms_radius,
+        )
+    return superpoint.patch_detect(
+        intensity, kcfg.max_keypoints, nms_radius=kcfg.nms_radius
+    )
 
 
 def _frame_inputs(rgb_u8, depth_raw, cam: CameraModel, cfg: EngineConfig):
@@ -79,7 +97,7 @@ def _predict(smap, pose, rgb, depth_filt, vmap_f, nmap_f, time, cam, cfg, bucket
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "cfg"))
-def _init_step(rgb_u8, depth_raw, pose0, time, cam: CameraModel, cfg: EngineConfig):
+def _init_step(rgb_u8, depth_raw, pose0, time, sp_params, cam: CameraModel, cfg: EngineConfig):
     """First frame: initialise the map + first prediction (processFrame tick==1)."""
     rgb, depth_filt, vmap_raw, vmap_f, nmap_f = _frame_inputs(rgb_u8, depth_raw, cam, cfg)
     fs = sm.compute_frame_surfels(
@@ -88,13 +106,21 @@ def _init_step(rgb_u8, depth_raw, pose0, time, cam: CameraModel, cfg: EngineConf
     smap = sm.init_from_frame(fs, cfg.surfels.max_surfels)
     bucket = cfg.surfels.max_surfels  # only used once; no need to specialise
     _, filled = _predict(smap, pose0, rgb, depth_filt, vmap_f, nmap_f, time, cam, cfg, bucket)
-    coarse = imops.build_pyramid(imops.rgb_to_intensity(rgb), cfg.odometry.num_pyr)[
+    intensity = imops.rgb_to_intensity(rgb)
+    coarse = imops.build_pyramid(intensity, cfg.odometry.num_pyr)[
         cfg.odometry.num_pyr - 1
     ]
+    # seed the keypoint track table (initGlobalTracks, MultiMotionFusion.cpp:296)
+    kcfg = cfg.keypoints
+    tracks = tracker.empty(kcfg.max_tracks, kcfg.track_history, kcfg.desc_dim)
+    kps = _detect_keypoints(intensity, cfg, sp_params)
+    if kps is not None:
+        tracks = tracker.add_keypoints(tracks, kps, depth_filt, time, cam, kcfg)
     stats = jnp.zeros((6,), jnp.float32)
     stats = stats.at[STAT_SURFELS].set(smap.alive_count().astype(jnp.float32))
     stats = stats.at[STAT_HWM].set(smap.count.astype(jnp.float32))
-    return GlobalState(smap, pose0, pose0, filled, coarse), stats
+    rng = jax.random.PRNGKey(cfg.seed)
+    return GlobalState(smap, pose0, pose0, filled, coarse, tracks, rng), stats
 
 
 @functools.partial(
@@ -107,6 +133,7 @@ def _frame_step(
     mask,
     time,
     weight_multiplier,
+    sp_params,
     cam: CameraModel,
     cfg: EngineConfig,
     bucket_fuse: int,
@@ -117,18 +144,48 @@ def _frame_step(
     rgb, depth_filt, vmap_raw, vmap_f, nmap_f = _frame_inputs(rgb_u8, depth_raw, cam, cfg)
     frame_pyr = lv.build_frame_pyramids(depth_filt, rgb, mask, cfg.odometry)
 
-    # ---- dense odometry against the last prediction -----------------------
+    # ---- sparse keypoint pipeline (SuperPoint/patch -> tracks -> RANSAC) --
     pose = state.pose
+    tracks = state.tracks
+    rng = state.rng
+    kps = _detect_keypoints(frame_pyr.intensity[0], cfg, sp_params)
+    if kps is not None:
+        kcfg = cfg.keypoints
+        tracks = tracker.add_keypoints(tracks, kps, depth_filt, time, cam, kcfg)
+        tracks = tracker.prune(tracks, time, kcfg)
+    if cfg.odom_init == "kp" and kps is not None:
+        # pose init from the rigid fit between the last two keypoint sets
+        # (Model::getLastTrackTransform; Tnew = pose * T_rel for the global
+        # model, MultiMotionFusion.cpp:320-335)
+        p0, p1, pair_valid = tracker.last_pair(tracks, time)
+        rng, sub = jax.random.split(rng)
+        res = ransac_ops.ransac_fit(sub, p0, p1, pair_valid, cfg.ransac)
+        # accept the seed only when the consensus is trustworthy — the
+        # reference applies the fit unconditionally (it only warns on zero
+        # inliers, MultiMotionFusion.cpp:324-327); a bad seed costs more than
+        # no seed because the dense solver must claw it back
+        good = (
+            res.ok
+            & (res.num_inliers >= 10)
+            & jnp.all(jnp.isfinite(res.transform))
+        )
+        T_rel = jnp.where(good, res.transform, jnp.eye(4, dtype=jnp.float32))
+        pose = pose @ T_rel
     if cfg.icp_refine or cfg.odom_init != "tf":
+        # prediction maps were rendered at the PREVIOUS pose (state.pose),
+        # which stays the solver's T_prev; a kp-initialised pose enters as
+        # the initial increment (see get_incremental_transformation)
         levels = lv.build_level_data(
             frame_pyr,
             state.filled.vertex_conf[..., :3],
             state.filled.normal_rad[..., :3],
             imops.rgb_to_intensity(state.filled.color),
-            pose, cam, cfg.odometry, 0,
+            state.pose, cam, cfg.odometry, 0,
         )
+        seeded = cfg.odom_init == "kp"
         odo = rgbd.get_incremental_transformation(
-            pose, levels, state.last_intensity_coarse, cfg.odometry, cam, 0
+            state.pose, levels, state.last_intensity_coarse, cfg.odometry,
+            cam, 0, T_init=pose if seeded else None, seeded=seeded,
         )
         pose = odo.pose
     else:
@@ -181,7 +238,7 @@ def _frame_step(
         stats = stats.at[STAT_RGB_COUNT].set(odo.rgb_count)
     stats = stats.at[STAT_SURFELS].set(smap.alive_count().astype(jnp.float32))
     stats = stats.at[STAT_HWM].set(smap.count.astype(jnp.float32))
-    return GlobalState(smap, pose, state.pose, filled, coarse), stats
+    return GlobalState(smap, pose, state.pose, filled, coarse, tracks, rng), stats
 
 
 class MultiMotionFusionTPU:
@@ -191,6 +248,14 @@ class MultiMotionFusionTPU:
         self.cfg = cfg
         self.cam = cfg.camera
         self.tick = 1
+        # SuperPoint weights (TorchScript) if configured; zero-size placeholder
+        # keeps the jit arg pytree stable when the patch detector is active
+        if cfg.keypoints.detector == "superpoint" and cfg.keypoints.weights_path:
+            from multimotionfusion_tpu.tracking.superpoint import load_torchscript
+
+            self.sp_params = load_torchscript(cfg.keypoints.weights_path)
+        else:
+            self.sp_params = jnp.zeros((0,), jnp.float32)
         self.time_delta = cfg.surfels.time_delta
         self.models: List[Model] = [Model(0, cfg)]
         self.state: Optional[GlobalState] = None
@@ -250,7 +315,7 @@ class MultiMotionFusionTPU:
                 gt_pose if gt_pose is not None else np.eye(4), jnp.float32
             )
             self.state, stats = _init_step(
-                rgb_u8, depth_raw, pose0, self.tick, cam, self.cfg
+                rgb_u8, depth_raw, pose0, self.tick, self.sp_params, cam, self.cfg
             )
             self._hwm = int(self.state.smap.count)
             self._hwm_tick = 1
@@ -262,7 +327,8 @@ class MultiMotionFusionTPU:
             bucket_fuse, bucket_pred = self._buckets()
             self.state, stats = _frame_step(
                 self.state, rgb_u8, depth_raw, mask, self.tick,
-                weight_multiplier, cam, self.cfg, bucket_fuse, bucket_pred,
+                weight_multiplier, self.sp_params, cam, self.cfg,
+                bucket_fuse, bucket_pred,
             )
         self._stats_dev.append(stats)
         self._pose_dev.append((frame.timestamp, self.state.pose))

@@ -504,7 +504,7 @@ def _K_inv(cam: CameraModel) -> jnp.ndarray:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "cam"))
+@functools.partial(jax.jit, static_argnames=("cfg", "cam", "seeded"))
 def get_incremental_transformation(
     T_prev: jnp.ndarray,
     levels: Sequence[LevelData],
@@ -512,6 +512,8 @@ def get_incremental_transformation(
     cfg: OdometryConfig,
     cam: CameraModel,
     mask_id: jnp.ndarray | int = 0,
+    T_init: jnp.ndarray | None = None,
+    seeded: bool = False,
 ) -> OdometryResult:
     """Full multi-level GN odometry solve as one XLA program.
 
@@ -526,11 +528,17 @@ def get_incremental_transformation(
     f32 = jnp.float32
     T_prev = T_prev.astype(f32)
 
-    # ---- SO(3) pre-alignment at the coarsest level ----------------------
+    # T_prev is the pose the "last" (prediction) images were rendered at — the
+    # RGB warp is built relative to it. An external pose seed (keypoint/tf
+    # init, Tnew in MultiMotionFusion.cpp:320-353) therefore enters as the
+    # INITIAL INCREMENT, not as T_prev; the reference instead re-renders the
+    # prediction at the seed pose (an extra predict+fuse+clean warm-up,
+    # :355-372) to keep T_prev == render pose. Seeding supersedes the SO(3)
+    # pre-alignment (both estimate the same inter-frame rotation).
     so3_err = jnp.array(0.0, f32)
     so3_count = jnp.array(0.0, f32)
     resultR = jnp.eye(3, dtype=f32)
-    if cfg.so3_prealign and cfg.so3_iterations > 0:
+    if cfg.so3_prealign and cfg.so3_iterations > 0 and not seeded:
         lvl = cfg.num_pyr - 1
         cam_l = cam.level(lvl)
         K = _K(cam_l)
@@ -580,7 +588,11 @@ def get_incremental_transformation(
         out = jax.lax.fori_loop(0, cfg.so3_iterations, so3_body, init)
         resultR, _, _, _, _, so3_err, so3_count = out
 
-    result_Rt = jnp.eye(4, dtype=f32).at[:3, :3].set(resultR)
+    if seeded and T_init is not None:
+        # estimate = T_prev @ inv(result_Rt) == T_init at iteration 0
+        result_Rt = se3.inverse_T(T_init.astype(f32)) @ T_prev
+    else:
+        result_Rt = jnp.eye(4, dtype=f32).at[:3, :3].set(resultR)
 
     # ---- coarse-to-fine joint GN ---------------------------------------
     schedule = cfg.schedule()

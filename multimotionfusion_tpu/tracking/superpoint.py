@@ -1,0 +1,227 @@
+"""Keypoint detection + description.
+
+Two interchangeable detectors behind one fixed-shape interface:
+
+- ``superpoint_*``: the SuperPoint network (DeTone et al.) used by the
+  reference through libtorch (reference MultiMotionFusion.cpp:77-78,223-237;
+  external repo super_point_inference). Re-implemented in JAX from the
+  published architecture: shared VGG-style encoder, a 65-channel detector
+  head (8x8 cells + dustbin, softmax + depth-to-space) and a 256-d descriptor
+  head (bilinear upsample + L2 norm). `load_torchscript` maps the reference's
+  TorchScript weights (SuperPointNet.pt) onto the JAX parameter pytree via
+  torch-cpu, so feature parity with the reference is bit-checkable.
+
+- ``patch_*``: a learned-weights-free fallback (Shi-Tomasi corners + L2-
+  normalised intensity patches) so the sparse pipeline runs without the
+  weights file; same output contract.
+
+Both return fixed-capacity keypoint sets (xy, score, descriptor, valid) —
+the TPU-native replacement for the reference's variable-length keypoint
+vectors.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Keypoints(NamedTuple):
+    xy: jnp.ndarray  # [K, 2] float32 pixel coordinates (x, y)
+    score: jnp.ndarray  # [K]
+    desc: jnp.ndarray  # [K, D] L2-normalised descriptors
+    valid: jnp.ndarray  # [K] bool
+
+
+# --------------------------------------------------------------------------
+# SuperPoint
+# --------------------------------------------------------------------------
+
+_SP_LAYERS = [
+    # name, in_ch, out_ch
+    ("conv1a", 1, 64), ("conv1b", 64, 64),
+    ("conv2a", 64, 64), ("conv2b", 64, 64),
+    ("conv3a", 64, 128), ("conv3b", 128, 128),
+    ("conv4a", 128, 128), ("conv4b", 128, 128),
+]
+_SP_HEADS = [
+    ("convPa", 128, 256), ("convPb", 256, 65),
+    ("convDa", 128, 256), ("convDb", 256, 256),
+]
+
+
+def superpoint_init(key=None) -> Dict[str, jnp.ndarray]:
+    """Random parameters with the published shapes (He-normal)."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    params = {}
+    for name, cin, cout in _SP_LAYERS + _SP_HEADS:
+        k = 1 if name in ("convPb", "convDb") else 3  # heads' second conv is 1x1
+        key, sub = jax.random.split(key)
+        params[f"{name}.w"] = jax.random.normal(sub, (k, k, cin, cout)) * np.sqrt(
+            2.0 / (k * k * cin)
+        )
+        params[f"{name}.b"] = jnp.zeros((cout,))
+    return params
+
+
+def load_torchscript(path: str) -> Dict[str, jnp.ndarray]:
+    """Load SuperPointNet.pt (TorchScript) weights into the JAX pytree.
+
+    Torch conv weights are [out, in, kh, kw]; JAX convs here use [kh, kw, in,
+    out]. Matches the layer names of the MagicLeap/torch_cpp release used by
+    the reference's super_point_inference.
+    """
+    import torch
+
+    module = torch.jit.load(path, map_location="cpu")
+    state = dict(module.state_dict())
+    params = {}
+    for name, _, _ in _SP_LAYERS + _SP_HEADS:
+        w = None
+        for key in (f"{name}.weight", f"module.{name}.weight"):
+            if key in state:
+                w = state[key]
+                b = state[key.replace("weight", "bias")]
+                break
+        if w is None:
+            raise KeyError(f"SuperPoint weight {name} not found in {path}")
+        params[f"{name}.w"] = jnp.asarray(
+            np.transpose(w.numpy(), (2, 3, 1, 0)), jnp.float32
+        )
+        params[f"{name}.b"] = jnp.asarray(b.numpy(), jnp.float32)
+    return params
+
+
+def _conv(x, w, b, relu=True):
+    out = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ) + b
+    return jax.nn.relu(out) if relu else out
+
+
+def _pool2(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+
+
+def superpoint_apply(params: Dict[str, jnp.ndarray], gray01: jnp.ndarray):
+    """gray01: [H, W] in 0..1 -> (score heatmap [H, W], coarse desc [H/8, W/8, 256])."""
+    h, w = gray01.shape
+    x = gray01[None, ..., None]
+    p = params
+    x = _conv(x, p["conv1a.w"], p["conv1a.b"])
+    x = _conv(x, p["conv1b.w"], p["conv1b.b"])
+    x = _pool2(x)
+    x = _conv(x, p["conv2a.w"], p["conv2a.b"])
+    x = _conv(x, p["conv2b.w"], p["conv2b.b"])
+    x = _pool2(x)
+    x = _conv(x, p["conv3a.w"], p["conv3a.b"])
+    x = _conv(x, p["conv3b.w"], p["conv3b.b"])
+    x = _pool2(x)
+    x = _conv(x, p["conv4a.w"], p["conv4a.b"])
+    x = _conv(x, p["conv4b.w"], p["conv4b.b"])
+
+    # detector head: 65 = 8x8 cell + dustbin, softmax, drop dustbin, unshuffle
+    cpa = _conv(x, p["convPa.w"], p["convPa.b"])
+    semi = _conv(cpa, p["convPb.w"], p["convPb.b"], relu=False)[0]
+    dense = jax.nn.softmax(semi, axis=-1)[..., :64]  # [H/8, W/8, 64]
+    hc, wc = dense.shape[:2]
+    heat = dense.reshape(hc, wc, 8, 8).transpose(0, 2, 1, 3).reshape(hc * 8, wc * 8)
+
+    # descriptor head: 256-d per 8x8 cell, consumers sample bilinearly
+    cda = _conv(x, p["convDa.w"], p["convDa.b"])
+    desc = _conv(cda, p["convDb.w"], p["convDb.b"], relu=False)[0]
+    desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12)
+    return heat[:h, :w], desc
+
+
+def _nms_topk(heat: jnp.ndarray, max_kp: int, conf_thresh: float, nms_radius: int):
+    """Max-pool NMS + top-k selection to a fixed keypoint budget."""
+    h, w = heat.shape
+    k = 2 * nms_radius + 1
+    local_max = jax.lax.reduce_window(
+        heat, -jnp.inf, jax.lax.max, (k, k), (1, 1), "SAME"
+    )
+    is_peak = (heat == local_max) & (heat > conf_thresh)
+    scores = jnp.where(is_peak, heat, 0.0).reshape(-1)
+    top_scores, top_idx = jax.lax.top_k(scores, max_kp)
+    ys = (top_idx // w).astype(jnp.float32)
+    xs = (top_idx % w).astype(jnp.float32)
+    valid = top_scores > 0
+    return jnp.stack([xs, ys], axis=-1), top_scores, valid
+
+
+def superpoint_detect(
+    params: Dict[str, jnp.ndarray],
+    intensity: jnp.ndarray,  # [H, W] 0..255
+    max_kp: int,
+    conf_thresh: float = 0.015,
+    nms_radius: int = 4,
+) -> Keypoints:
+    heat, coarse = superpoint_apply(params, intensity / 255.0)
+    xy, score, valid = _nms_topk(heat, max_kp, conf_thresh, nms_radius)
+    # bilinear descriptor sampling on the /8 grid + renormalise
+    from multimotionfusion_tpu.ops.image import bilinear_sample
+
+    d = bilinear_sample(coarse, xy[:, 0] / 8.0 - 0.5, xy[:, 1] / 8.0 - 0.5)
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+    return Keypoints(xy=xy, score=score, desc=d, valid=valid)
+
+
+# --------------------------------------------------------------------------
+# Fallback: Shi-Tomasi corners + normalised intensity patches
+# --------------------------------------------------------------------------
+
+PATCH_DESC_DIM = 64
+
+
+def patch_detect(
+    intensity: jnp.ndarray,  # [H, W] 0..255
+    max_kp: int,
+    conf_thresh: float = 1.0,
+    nms_radius: int = 4,
+) -> Keypoints:
+    """Weights-free detector with the same contract as superpoint_detect.
+
+    Shi-Tomasi (min eigenvalue of the 5x5 structure tensor) corners; the
+    descriptor is an 8x8 grid of blurred intensities over a 16x16 support,
+    zero-mean and L2-normalised — distinctive enough for the frame-to-frame
+    and redetection matching the tracker needs.
+    """
+    from multimotionfusion_tpu.ops.image import gaussian_blur, sobel_gradients
+
+    h, w = intensity.shape
+    gx, gy = sobel_gradients(intensity)
+    ixx = gaussian_blur(gx * gx, 1.5, 2)
+    iyy = gaussian_blur(gy * gy, 1.5, 2)
+    ixy = gaussian_blur(gx * gy, 1.5, 2)
+    tr = ixx + iyy
+    det = ixx * iyy - ixy * ixy
+    disc = jnp.sqrt(jnp.maximum(tr * tr / 4.0 - det, 0.0))
+    min_eig = tr / 2.0 - disc
+    # suppress borders (descriptor support)
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    border = (ys >= 8) & (ys < h - 8) & (xs >= 8) & (xs < w - 8)
+    score = jnp.where(border, min_eig, 0.0)
+    xy, s, valid = _nms_topk(score, max_kp, conf_thresh, nms_radius)
+
+    blurred = gaussian_blur(intensity, 1.0, 2)
+    # 8x8 samples at stride 2 centred on the keypoint
+    offs = (jnp.arange(8, dtype=jnp.float32) - 3.5) * 2.0
+    oy, ox = jnp.meshgrid(offs, offs, indexing="ij")
+    from multimotionfusion_tpu.ops.image import bilinear_sample
+
+    px = xy[:, 0:1] + ox.reshape(1, -1)  # [K, 64]
+    py = xy[:, 1:2] + oy.reshape(1, -1)
+    patches = bilinear_sample(blurred, px.reshape(-1), py.reshape(-1)).reshape(
+        -1, PATCH_DESC_DIM
+    )
+    patches = patches - jnp.mean(patches, axis=-1, keepdims=True)
+    d = patches / jnp.maximum(jnp.linalg.norm(patches, axis=-1, keepdims=True), 1e-12)
+    return Keypoints(xy=xy, score=s, desc=d, valid=valid)
