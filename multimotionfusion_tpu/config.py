@@ -163,11 +163,14 @@ class SegmentationConfig:
     flow_ramp_lo: float = 0.2
     flow_ramp_hi: float = 5.0
     new_label_min_frac: float = 0.05
+    # reference defaults: weightSmoothness=40, weightAppearance=40
+    # (Core/Segmentation/Segmentation.h:147-148); the Gaussian kernel gets
+    # 4x the smoothness weight (Segmentation.cpp:1132)
     pairwise_gaussian_sigma: float = 3.0
-    pairwise_gaussian_weight: float = 3.0
+    pairwise_gaussian_weight: float = 40.0
     pairwise_flow_sigma_xy: float = 40.0
     pairwise_flow_sigma_v: float = 1.0
-    pairwise_flow_weight: float = 5.0
+    pairwise_flow_weight: float = 40.0
     # legacy CRF knobs
     min_rel_size_new: float = 0.07
     max_rel_size_new: float = 0.4

@@ -1,0 +1,231 @@
+"""Flow-CRF motion segmentation (the MultiMotionFusion paper contribution).
+
+TPU re-design of reference Segmentation::performSegmentationFlowCRF
+(Core/Segmentation/Segmentation.cpp:742-1347). Per frame, at 1/4 scale:
+
+1. dense optical flow prev->next (:779-817; LK substitute, see flow.py);
+2. dense reprojection probability per model from |frame depth - predicted
+   model depth|, truncated at 0.03 m, exp(-d/0.03), normalised (:819-862);
+3. sparse unaries from per-track velocity errors of model-local track
+   projections, binarised at the threshold, with an outlier class =
+   "fits no active model" (:942-1102, norm01 branch);
+4. softmax -> -log -> dense CRF with a Gaussian smoothness kernel and a
+   (x, y, flow) Potts kernel (:1117-1147; bilateral grid substitute for the
+   permutohedral lattice, see crf.py);
+5. fuse the CRF posterior (scaled by a 0.2..5 px flow-magnitude ramp) with
+   the reprojection probability: 1 - (1-p_flow)(1-p_proj) (:1174-1198);
+6. MAP -> largest connected component per model -> full-res mask; a new
+   label exists iff the outlier segment covers > 5% of the image (:1246-1324).
+
+All label slots are fixed size (MAX_LABELS = max models + outlier class) with
+an active-models mask, so the whole pass is one jittable program.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from multimotionfusion_tpu.config import CameraModel, SegmentationConfig
+from multimotionfusion_tpu.ops import image as imops
+from multimotionfusion_tpu.segmentation import components, crf
+from multimotionfusion_tpu.segmentation.flow import dense_flow
+
+
+class SegmentationResult(NamedTuple):
+    mask: jnp.ndarray  # [H, W] int32 model-slot ids at FULL resolution
+    new_label_mask: jnp.ndarray  # [H, W] bool — pixels of the prospective new model
+    has_new_label: jnp.ndarray  # [] bool (> 5% of the image is outlier)
+    pixel_counts: jnp.ndarray  # [M] int32 per model slot (largest component, full res)
+    depth_mean: jnp.ndarray  # [M] mean frame depth inside each mask
+    flow: jnp.ndarray  # [Hc, Wc, 2] the computed flow (debug/GUI parity)
+
+
+def reprojection_probability(
+    frame_depth_c: jnp.ndarray,  # [Hc, Wc] frame depth at CRF scale
+    pred_depth_c: jnp.ndarray,  # [M, Hc, Wc] per-model predicted depth
+    model_active: jnp.ndarray,  # [M] bool
+    max_err: float = 0.03,
+):
+    """Per-model normalised reprojection probability + outlier probability.
+
+    Model rows are the RAW fit quality exp(-truncated |depth error|/max_err);
+    the outlier row is 1 - max_m of that. Deviations from the reference
+    (Segmentation.cpp:819-862, 1149-1153), both deliberate: the reference
+    normalises model rows over active models — with a single active model
+    that is identically 1, and its outlier row reads UNINITIALISED memory, so
+    nothing could ever out-score model 0 in the posterior fusion and the
+    first object could never spawn through this term. Raw fit quality keeps
+    the rows comparable across any number of models and makes the outlier row
+    exactly "no model explains the observed depth".
+    """
+    dist = jnp.abs(frame_depth_c[None] - pred_depth_c)
+    invalid = jnp.any(
+        (frame_depth_c[None] < 1e-6) & (pred_depth_c < 1e-6), axis=0
+    )
+    dist = jnp.minimum(dist, max_err)
+    raw = jnp.exp(-dist / max_err)
+    # a model without prediction coverage at a pixel cannot claim it
+    raw = jnp.where(pred_depth_c > 1e-6, raw, 0.0)
+    prob = jnp.where(invalid[None], 0.0, raw * model_active[:, None, None])
+    best_fit = jnp.max(prob, axis=0)
+    outlier = jnp.where(invalid, 0.0, 1.0 - best_fit)
+    # valid frame depth required: unobserved pixels can't vote for a new model
+    outlier = jnp.where(frame_depth_c > 1e-6, outlier, 0.0)
+    return prob, outlier
+
+
+def sparse_unary(
+    track_xy: jnp.ndarray,  # [T, 2] latest keypoint pixel coords (full res)
+    track_vel: jnp.ndarray,  # [M, T] velocity error per model (px/s)
+    track_valid: jnp.ndarray,  # [T] bool (pair available, finite depth both ends)
+    model_active: jnp.ndarray,  # [M] bool
+    hc: int,
+    wc: int,
+    scale: float,
+    threshold: float,
+    allow_new: bool,
+) -> jnp.ndarray:
+    """[L, Hc, Wc] unary ERRORS: 0 match / 1 mismatch / +inf unknown
+    (Segmentation.cpp:942-1102, norm01 branch). L = M + 1 (outlier last)."""
+    m = track_vel.shape[0]
+    inf = jnp.float32(jnp.inf)
+    err_active = jnp.where(
+        track_valid[None] & model_active[:, None],
+        (track_vel > threshold).astype(jnp.float32),
+        inf,
+    )  # [M, T]
+    # outlier class: error 1 iff the track fits ANY active model
+    fits_any = jnp.any(
+        (track_vel < threshold) & model_active[:, None], axis=0
+    )
+    err_outlier = jnp.where(
+        track_valid & jnp.all(~model_active[:, None] | jnp.isfinite(track_vel), axis=0),
+        fits_any.astype(jnp.float32),
+        inf,
+    )
+    if allow_new:
+        err = jnp.concatenate([err_active, err_outlier[None]], axis=0)  # [L, T]
+    else:
+        err = jnp.concatenate(
+            [err_active, jnp.full((1, err_active.shape[1]), inf)], axis=0
+        )
+
+    # scatter per-track errors to CRF pixels (min where several tracks land)
+    xi = jnp.clip(jnp.rint(track_xy[:, 0] * scale).astype(jnp.int32), 0, wc - 1)
+    yi = jnp.clip(jnp.rint(track_xy[:, 1] * scale).astype(jnp.int32), 0, hc - 1)
+    pix = jnp.where(track_valid, yi * wc + xi, hc * wc)
+    unary = jnp.full((err.shape[0], hc * wc + 1), inf)
+    unary = unary.at[:, pix].min(err, mode="drop")
+    return unary[:, : hc * wc].reshape(-1, hc, wc)
+
+
+def flow_crf_segmentation(
+    prev_intensity: jnp.ndarray,  # [H, W] previous frame intensity
+    next_intensity: jnp.ndarray,  # [H, W]
+    frame_depth: jnp.ndarray,  # [H, W]
+    pred_depth: jnp.ndarray,  # [M, H, W] per-model predicted depth (full res)
+    model_active: jnp.ndarray,  # [M] bool
+    track_xy: jnp.ndarray,  # [T, 2]
+    track_vel: jnp.ndarray,  # [M, T] px/s velocity error per model
+    track_valid: jnp.ndarray,  # [T]
+    cam: CameraModel,
+    cfg: SegmentationConfig,
+    allow_new: bool = True,
+) -> SegmentationResult:
+    h, w = frame_depth.shape
+    hc, wc = int(h * cfg.scale), int(w * cfg.scale)
+    m = pred_depth.shape[0]
+    n_labels = m + 1
+
+    # 1. optical flow at CRF scale
+    prev_c = imops.resize_bilinear(prev_intensity, (hc, wc))
+    next_c = imops.resize_bilinear(next_intensity, (hc, wc))
+    flow = dense_flow(prev_c, next_c)
+
+    # 2. dense reprojection probability
+    frame_depth_c = imops.resize_bilinear(frame_depth, (hc, wc))
+    pred_depth_c = jax.vmap(lambda d: imops.resize_bilinear(d, (hc, wc)))(pred_depth)
+    p_proj_m, p_proj_out = reprojection_probability(
+        frame_depth_c, pred_depth_c, model_active, cfg.sigma_depth
+    )
+    p_proj = jnp.concatenate([p_proj_m, p_proj_out[None]], axis=0)
+
+    # 3. sparse unaries -> 4. CRF
+    unary_err = sparse_unary(
+        track_xy, track_vel, track_valid, model_active, hc, wc,
+        cfg.scale, cfg.velocity_threshold, allow_new,
+    )  # [L, Hc, Wc] errors
+    # softmax over -errors; all-inf columns get uniform (Segmentation.cpp:1117-1127)
+    e = jnp.exp(-unary_err)
+    esum = jnp.sum(e, axis=0)
+    probs = jnp.where(esum[None] > 0, e / jnp.maximum(esum[None], 1e-12), 1.0 / n_labels)
+    unary = -jnp.log(jnp.maximum(probs, 1e-12))  # [L, Hc, Wc]
+    unary_hwl = jnp.moveaxis(unary, 0, -1)
+
+    q = crf.mean_field(
+        unary_hwl,
+        kernels=[
+            ("gaussian", dict(sigma=cfg.pairwise_gaussian_sigma),
+             4.0 * cfg.pairwise_gaussian_weight),
+            ("bilateral",
+             dict(features=flow * 10.0, sigma_xy=cfg.pairwise_flow_sigma_xy,
+                  sigma_f=10.0 * cfg.pairwise_flow_sigma_v),
+             cfg.pairwise_flow_weight),
+        ],
+        iterations=cfg.crf_iterations,
+    )  # [Hc, Wc, L]
+
+    # 5. fuse with flow-magnitude ramp + reprojection probability
+    magn = jnp.linalg.norm(flow, axis=-1)
+    ramp = jnp.clip((magn - cfg.flow_ramp_lo) / (cfg.flow_ramp_hi - cfg.flow_ramp_lo),
+                    0.0, 1.0)
+    p_flow = q * ramp[..., None]
+    p_proj_hwl = jnp.moveaxis(jnp.where(p_proj < 0.3, 0.0, p_proj), 0, -1)
+    prob = 1.0 - (1.0 - p_flow) * (1.0 - p_proj_hwl)
+    # inactive model slots can never win
+    label_ok = jnp.concatenate([model_active, jnp.array([allow_new])])
+    prob = jnp.where(label_ok[None, None, :], prob, -1.0)
+    lbl = jnp.argmax(prob, axis=-1)  # [Hc, Wc]
+
+    # 6. largest component per label, counts, new-label gate
+    segm = jnp.full((hc, wc), -1, jnp.int32)
+    counts = []
+    for l in range(n_labels):
+        largest = components.keep_largest_component(lbl == l)
+        segm = jnp.where(largest, l, segm)
+        counts.append(jnp.sum(largest.astype(jnp.int32)))
+    counts = jnp.stack(counts)
+
+    has_new = (
+        jnp.asarray(allow_new)
+        & ((counts[m].astype(jnp.float32) / (hc * wc)) > cfg.new_label_min_frac)
+    )
+
+    # upsample (nearest) to full resolution; unlabelled pixels -> model 0
+    ys = jnp.clip((jnp.arange(h) * cfg.scale).astype(jnp.int32), 0, hc - 1)
+    xs = jnp.clip((jnp.arange(w) * cfg.scale).astype(jnp.int32), 0, wc - 1)
+    full = segm[ys[:, None], xs[None, :]]
+    new_mask = full == m
+    mask = jnp.where((full < 0) | (full == m), 0, full)
+
+    scale_w = 1.0 / (cfg.scale * cfg.scale)
+    pix_counts = (counts[:m].astype(jnp.float32) * scale_w).astype(jnp.int32)
+    dsum = jnp.zeros((m,))
+    dcnt = jnp.zeros((m,))
+    for l in range(m):
+        sel = (full == l) & (frame_depth > 0)
+        dsum = dsum.at[l].set(jnp.sum(jnp.where(sel, frame_depth, 0.0)))
+        dcnt = dcnt.at[l].set(jnp.sum(sel.astype(jnp.float32)))
+    depth_mean = dsum / jnp.maximum(dcnt, 1.0)
+
+    return SegmentationResult(
+        mask=mask,
+        new_label_mask=new_mask,
+        has_new_label=has_new,
+        pixel_counts=pix_counts,
+        depth_mean=depth_mean,
+        flow=flow,
+    )
