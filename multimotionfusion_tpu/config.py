@@ -210,6 +210,13 @@ class EngineConfig:
     ferns: FernConfig = FernConfig()
     deformation: DeformationConfig = DeformationConfig()
 
+    # multi-model capacities: object models live in fixed device-resident
+    # slots (spawn/deactivate flips an active flag — no recompilation, unlike
+    # growing the reference's model list); the reference allows up to 256
+    # models with 1024^2 surfels each, bounded only by GPU memory
+    object_slots: int = 3
+    object_capacity: int = 1 << 16
+
     # pipeline switches (reference CLI flags, MainController.cpp:40-122)
     odom_init: str = "kp"  # "kp" | "tf" | "" (pose initialisation source)
     icp_refine: bool = True
@@ -219,7 +226,11 @@ class EngineConfig:
     close_loops: bool = False
     reloc_mode: bool = False
     frame_to_frame_rgb: bool = False
-    model_spawn_offset: int = 22
+    model_spawn_offset: int = 22  # spawn cool-down in frames (reference default)
+    # frames with zero segment pixels before an object is deactivated; the
+    # reference deactivates after ONE unseen frame (MultiMotionFusion.cpp:
+    # 606-613) which thrashes on marginal segmentations — 3 is more stable
+    model_unseen_patience: int = 3
     max_models: int = 256  # uint8 mask ids, MultiMotionFusion.cpp:983-999
     min_inactive_surfels: int = 500  # keep-on-deactivate gate
     export_dir: str = "."

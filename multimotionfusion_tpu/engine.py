@@ -168,6 +168,7 @@ def _frame_step(
             res.ok
             & (res.num_inliers >= 10)
             & jnp.all(jnp.isfinite(res.transform))
+            & (jnp.linalg.norm(res.transform[:3, 3]) < 0.05)  # inter-frame sanity
         )
         T_rel = jnp.where(good, res.transform, jnp.eye(4, dtype=jnp.float32))
         pose = pose @ T_rel
@@ -259,6 +260,8 @@ class MultiMotionFusionTPU:
         self.time_delta = cfg.surfels.time_delta
         self.models: List[Model] = [Model(0, cfg)]
         self.state: Optional[GlobalState] = None
+        self.mstate = None  # MultiState when enable_multi_model
+        self._obj_pose_dev: List[tuple] = []  # (ts, obj_poses, obj_active)
         self.lost = False
         self.stats: Dict[str, float] = {}
         self._stats_dev: List[jnp.ndarray] = []  # per-frame device stats vectors
@@ -317,8 +320,51 @@ class MultiMotionFusionTPU:
             self.state, stats = _init_step(
                 rgb_u8, depth_raw, pose0, self.tick, self.sp_params, cam, self.cfg
             )
+            if self.cfg.enable_multi_model:
+                from multimotionfusion_tpu import engine_multi as em
+
+                objects = em.empty_objects(self.cfg, cam)
+                pred_depth = jnp.concatenate(
+                    [
+                        self.state.filled.vertex_conf[None, ..., 2],
+                        objects.pred_vertex_conf[..., 2],
+                    ],
+                    axis=0,
+                )
+                self.mstate = em.MultiState(
+                    smap=self.state.smap, pose=self.state.pose,
+                    prev_pose=self.state.prev_pose, filled=self.state.filled,
+                    last_intensity_coarse=self.state.last_intensity_coarse,
+                    tracks=self.state.tracks, rng=self.state.rng,
+                    objects=objects,
+                    prev_mask=jnp.zeros((cam.height, cam.width), jnp.int32),
+                    prev_intensity=imops.rgb_to_intensity(
+                        rgb_u8.astype(jnp.float32)
+                    ),
+                    pred_depth=pred_depth,
+                    last_spawn=jnp.zeros((), jnp.int32),
+                )
             self._hwm = int(self.state.smap.count)
             self._hwm_tick = 1
+        elif self.cfg.enable_multi_model:
+            from multimotionfusion_tpu import engine_multi as em
+
+            bucket_fuse, _ = self._buckets()
+            self.mstate, stats, _ = em.multi_frame_step(
+                self.mstate, rgb_u8, depth_raw, self.tick,
+                weight_multiplier, self.sp_params, cam, self.cfg, bucket_fuse,
+            )
+            # mirror the global-model fields for shared accessors/exports
+            self.state = GlobalState(
+                smap=self.mstate.smap, pose=self.mstate.pose,
+                prev_pose=self.mstate.prev_pose, filled=self.mstate.filled,
+                last_intensity_coarse=self.mstate.last_intensity_coarse,
+                tracks=self.mstate.tracks, rng=self.mstate.rng,
+            )
+            self._obj_pose_dev.append(
+                (frame.timestamp, self.mstate.objects.pose,
+                 self.mstate.objects.active)
+            )
         else:
             if self.cfg.odom_init == "tf" and gt_pose is not None:
                 self.state = self.state._replace(
@@ -339,14 +385,25 @@ class MultiMotionFusionTPU:
         """Latest per-frame stats; with sync=False returns the last fetched."""
         if sync and self._stats_dev:
             s = np.asarray(self._stats_dev[-1])
-            self.stats = {
-                "icp_error": float(s[STAT_ICP_ERROR]),
-                "icp_count": float(s[STAT_ICP_COUNT]),
-                "rgb_error": float(s[STAT_RGB_ERROR]),
-                "rgb_count": float(s[STAT_RGB_COUNT]),
-                "surfels": float(s[STAT_SURFELS]),
-                "hwm": float(s[STAT_HWM]),
-            }
+            if self.cfg.enable_multi_model and s.shape[0] > 6 and self.tick > 2:
+                self.stats = {
+                    "icp_error": float(s[0]),
+                    "icp_count": float(s[1]),
+                    "surfels": float(s[2]),
+                    "hwm": float(s[3]),
+                    "spawned": float(s[4]),
+                    "active_objects": float(s[5]),
+                    "segment_px": [float(v) for v in s[6:]],
+                }
+            else:
+                self.stats = {
+                    "icp_error": float(s[STAT_ICP_ERROR]),
+                    "icp_count": float(s[STAT_ICP_COUNT]),
+                    "rgb_error": float(s[STAT_RGB_ERROR]),
+                    "rgb_count": float(s[STAT_RGB_COUNT]),
+                    "surfels": float(s[STAT_SURFELS]),
+                    "hwm": float(s[STAT_HWM]),
+                }
         return dict(self.stats)
 
     def finish(self):
@@ -373,6 +430,20 @@ class MultiMotionFusionTPU:
         models = [(0, pose_log)] + [
             (m.id, m.pose_log) for m in self.models if m.id != 0
         ]
+        # object-slot trajectories (multi-model mode): only ticks where the
+        # slot was active contribute
+        if self._obj_pose_dev:
+            n_slots = self.cfg.object_slots
+            obj_logs = {k: [] for k in range(n_slots)}
+            for ts, poses, active in self._obj_pose_dev:
+                poses = np.asarray(poses)
+                active = np.asarray(active)
+                for k in range(n_slots):
+                    if active[k]:
+                        obj_logs[k].append((ts, poses[k]))
+            for k, log in obj_logs.items():
+                if log:
+                    models.append((k + 1, log))
         for model_id, log in models:
             path = os.path.join(export_dir, f"poses-{model_id}.txt")
             with open(path, "w") as f:

@@ -1,0 +1,418 @@
+"""Multi-model engine: per-rigid-body tracking, segmentation, lifecycle.
+
+TPU re-design of the multi-model path of reference
+Core/MultiMotionFusion::processFrame (MultiMotionFusion.cpp:207-854):
+per frame — keypoints -> per-model pose init + masked ICP -> flow-CRF
+segmentation -> spawn / deactivate -> per-model fuse + clean -> predict.
+
+TPU-first structure (vs the reference's sequential per-model loop over
+heap-allocated Model objects):
+- object models live in FIXED device-resident slots (batched arrays with an
+  `active` mask); spawning writes into a free slot and deactivation clears a
+  flag — all inside the jitted frame step, with no host round-trip and no
+  recompilation (the reference's host decides these on downloaded scalars);
+- per-object tracking and fusion are vmapped over the slot axis, which is
+  also the axis `parallel/` shards across chips;
+- the segmentation mask used for masked odometry is the PREVIOUS frame's
+  (the reference's MASK texture also still holds it at odometry time).
+
+Object-model conventions follow the reference: slot k owns mask id k+1; a
+new model's pose starts at identity so its map frame is the camera frame at
+spawn; the exported object trajectory is P_0 P_m^-1 (exportPoses).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from multimotionfusion_tpu.config import CameraModel, EngineConfig
+from multimotionfusion_tpu.model import fusion, surfel_map as sm
+from multimotionfusion_tpu.model.fillin import FilledMaps, fill_in
+from multimotionfusion_tpu.odometry import levels as lv
+from multimotionfusion_tpu.odometry import rgbd
+from multimotionfusion_tpu.ops import image as imops
+from multimotionfusion_tpu.ops import ransac as ransac_ops
+from multimotionfusion_tpu.ops import rasterize
+from multimotionfusion_tpu.segmentation import flow_crf as seg
+from multimotionfusion_tpu.tracking import tracker
+from multimotionfusion_tpu.utils import se3
+
+
+class ObjectSlots(NamedTuple):
+    """Batched object-model state (leading axis = slot; mask id = slot + 1)."""
+
+    data: jnp.ndarray  # [S, CHANNELS, cap_o]
+    count: jnp.ndarray  # [S] int32 high-water mark
+    pose: jnp.ndarray  # [S, 4, 4]
+    active: jnp.ndarray  # [S] bool
+    unseen: jnp.ndarray  # [S] int32 frames with zero segment pixels
+    spawn_tick: jnp.ndarray  # [S] int32
+    # per-slot prediction for the next frame's tracking (no fill-in; the
+    # reference only fills in the global model, Model::performFillIn)
+    pred_vertex_conf: jnp.ndarray  # [S, H, W, 4]
+    pred_normal_rad: jnp.ndarray  # [S, H, W, 4]
+    pred_color: jnp.ndarray  # [S, H, W, 3]
+
+    @property
+    def num_slots(self) -> int:
+        return self.data.shape[0]
+
+
+class MultiState(NamedTuple):
+    """Device-resident state of the full multi-model pipeline."""
+
+    smap: sm.SurfelMap  # global model (id 0)
+    pose: jnp.ndarray
+    prev_pose: jnp.ndarray
+    filled: FilledMaps
+    last_intensity_coarse: jnp.ndarray
+    tracks: tracker.TrackTable
+    rng: jnp.ndarray
+    objects: ObjectSlots
+    prev_mask: jnp.ndarray  # [H, W] int32 segmentation of the previous frame
+    prev_intensity: jnp.ndarray  # [H, W] previous frame intensity (flow)
+    pred_depth: jnp.ndarray  # [1 + S, H, W] per-model predicted depth
+    last_spawn: jnp.ndarray  # [] int32 tick of the last spawn (cool-down)
+
+
+def empty_objects(cfg: EngineConfig, cam: CameraModel) -> ObjectSlots:
+    s = cfg.object_slots
+    h, w = cam.height, cam.width
+    return ObjectSlots(
+        data=jnp.zeros((s, sm.CHANNELS, cfg.object_capacity), jnp.float32),
+        count=jnp.zeros((s,), jnp.int32),
+        pose=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (s, 4, 4)),
+        active=jnp.zeros((s,), bool),
+        unseen=jnp.zeros((s,), jnp.int32),
+        spawn_tick=jnp.zeros((s,), jnp.int32),
+        pred_vertex_conf=jnp.zeros((s, h, w, 4), jnp.float32),
+        pred_normal_rad=jnp.zeros((s, h, w, 4), jnp.float32),
+        pred_color=jnp.zeros((s, h, w, 3), jnp.float32),
+    )
+
+
+def _track_velocities(
+    table: tracker.TrackTable,
+    time,
+    poses_prev: jnp.ndarray,  # [M, 4, 4] per-model pose at time-1
+    poses_new: jnp.ndarray,  # [M, 4, 4] per-model pose at time
+    cam: CameraModel,
+    fps: float = 30.0,
+):
+    """[M, T] px/s velocity error of each track under each model's motion.
+
+    == the PIXEL_S metric over Model::computeTrackProjectionStartEnd
+    (Segmentation.cpp:979-1007): predict the start keypoint's pixel under the
+    model's motion and compare with the observed end pixel.
+    """
+    p0, p1, valid = tracker.last_pair(table, time)
+
+    def per_model(T0, T1):
+        # point fixed in the model's frame: g = T0 p0; predicted cam pt = T1^-1 g
+        g = se3.transform_points(T0, p0)
+        pc = se3.transform_points(se3.inverse_T(T1), g)
+        z = jnp.maximum(pc[:, 2], 1e-6)
+        u = pc[:, 0] * cam.fx / z + cam.cx
+        v = pc[:, 1] * cam.fy / z + cam.cy
+        z1 = jnp.maximum(p1[:, 2], 1e-6)
+        u1 = p1[:, 0] * cam.fx / z1 + cam.cx
+        v1 = p1[:, 1] * cam.fy / z1 + cam.cy
+        return jnp.sqrt((u - u1) ** 2 + (v - v1) ** 2) * fps
+
+    vel = jax.vmap(per_model)(poses_prev, poses_new)
+    return vel, valid
+
+
+def _kp_seed(tracks, time, model_sel, pose, rng, cfg, is_global: bool):
+    """RANSAC pose init from the model's own tracks (Model::getLastTrackTransform).
+
+    Global model: Tnew = pose @ T_rel; objects: Tnew = T_rel @ pose
+    (MultiMotionFusion.cpp:320-335)."""
+    p0, p1, valid = tracker.last_pair(tracks, time)
+    valid = valid & model_sel
+    rng, sub = jax.random.split(rng)
+    res = ransac_ops.ransac_fit(sub, p0, p1, valid, cfg.ransac)
+    good = (
+        res.ok
+        & (res.num_inliers >= 10)
+        & jnp.all(jnp.isfinite(res.transform))
+        & (jnp.linalg.norm(res.transform[:3, 3]) < 0.05)  # inter-frame sanity
+    )
+    T_rel = jnp.where(good, res.transform, jnp.eye(4, dtype=jnp.float32))
+    seeded_pose = pose @ T_rel if is_global else T_rel @ pose
+    return seeded_pose, rng
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cam", "cfg", "bucket_fuse")
+)
+def multi_frame_step(
+    state: MultiState,
+    rgb_u8,
+    depth_raw,
+    time,
+    weight_multiplier,
+    sp_params,
+    cam: CameraModel,
+    cfg: EngineConfig,
+    bucket_fuse: int,
+):
+    """One jitted multi-model frame (tick > 1): track all models, segment,
+    spawn/deactivate, fuse, predict."""
+    from multimotionfusion_tpu.engine import _detect_keypoints, _frame_inputs
+
+    scfg = cfg.surfels
+    n_slots = state.objects.num_slots
+    h, w = cam.height, cam.width
+    rgb, depth_filt, vmap_raw, vmap_f, nmap_f = _frame_inputs(rgb_u8, depth_raw, cam, cfg)
+    mask_prev = state.prev_mask
+    frame_pyr = lv.build_frame_pyramids(depth_filt, rgb, mask_prev, cfg.odometry)
+    intensity = frame_pyr.intensity[0]
+
+    # ---- keypoints + tracks ------------------------------------------------
+    tracks = state.tracks
+    rng = state.rng
+    kps = _detect_keypoints(intensity, cfg, sp_params)
+    kcfg = cfg.keypoints
+    tracks = tracker.add_keypoints(tracks, kps, depth_filt, time, cam, kcfg)
+    tracks = tracker.prune(tracks, time, kcfg)
+
+    # ---- global model: kp init + masked dense refinement -------------------
+    pose0 = state.pose
+    if cfg.odom_init == "kp":
+        pose0_seed, rng = _kp_seed(
+            tracks, time, tracks.model_id == 0, pose0, rng, cfg, True
+        )
+    else:
+        pose0_seed = pose0
+    levels0 = lv.build_level_data(
+        frame_pyr,
+        state.filled.vertex_conf[..., :3],
+        state.filled.normal_rad[..., :3],
+        imops.rgb_to_intensity(state.filled.color),
+        state.pose, cam, cfg.odometry, 0,
+    )
+    seeded = cfg.odom_init == "kp"
+    odo0 = rgbd.get_incremental_transformation(
+        state.pose, levels0, state.last_intensity_coarse, cfg.odometry, cam, 0,
+        T_init=pose0_seed if seeded else None, seeded=seeded,
+    )
+    new_pose0 = odo0.pose
+
+    # ---- object models: per-slot kp init + masked dense refinement ---------
+    obj = state.objects
+
+    def seed_one(slot_pose, slot_idx, key):
+        sel = tracks.model_id == (slot_idx + 1)
+        p0, p1, valid = tracker.last_pair(tracks, time)
+        valid = valid & sel
+        res = ransac_ops.ransac_fit(key, p0, p1, valid, cfg.ransac)
+        good = (
+            res.ok
+            & (res.num_inliers >= 10)
+            & jnp.all(jnp.isfinite(res.transform))
+            # an object cannot plausibly jump > 5 cm between frames; junk
+            # consensus (aliased descriptors) costs more than no seed
+            & (jnp.linalg.norm(res.transform[:3, 3]) < 0.05)
+        )
+        T_rel = jnp.where(good, res.transform, jnp.eye(4, dtype=jnp.float32))
+        # NOTE: the reference premultiplies for objects (T_rel * pose,
+        # MultiMotionFusion.cpp:330) under its own object-pose bookkeeping;
+        # here object models share the camera's pose convention (the dense
+        # solver is identical for all models), and consistency of
+        # g = P_m(t) p_cam(t) for object-frame surfels requires
+        # P_m(t1) = P_m(t0) @ T_rel, the same composition as the global model.
+        return slot_pose @ T_rel
+
+    rng, *keys = jax.random.split(rng, n_slots + 1)
+    obj_seeds = jax.vmap(seed_one)(
+        obj.pose, jnp.arange(n_slots, dtype=jnp.int32), jnp.stack(keys)
+    ) if cfg.odom_init == "kp" else obj.pose
+
+    def track_one(slot_idx, slot_pose, seed_pose, pvc, pnr, pcol):
+        levels = lv.build_level_data(
+            frame_pyr, pvc[..., :3], pnr[..., :3],
+            imops.rgb_to_intensity(pcol), slot_pose, cam, cfg.odometry,
+            slot_idx + 1,
+        )
+        odo = rgbd.get_incremental_transformation(
+            slot_pose, levels, state.last_intensity_coarse, cfg.odometry, cam,
+            slot_idx + 1, T_init=seed_pose, seeded=True,
+        )
+        return odo.pose, odo.icp_count
+
+    obj_poses_new, obj_icp_counts = jax.vmap(track_one)(
+        jnp.arange(n_slots, dtype=jnp.int32), obj.pose, obj_seeds,
+        obj.pred_vertex_conf, obj.pred_normal_rad, obj.pred_color,
+    )
+    # inactive slots keep their pose
+    obj_poses_new = jnp.where(obj.active[:, None, None], obj_poses_new, obj.pose)
+
+    # ---- segmentation (flow CRF) -------------------------------------------
+    poses_prev = jnp.concatenate([state.pose[None], obj.pose], axis=0)
+    poses_new = jnp.concatenate([new_pose0[None], obj_poses_new], axis=0)
+    vel, pair_valid = _track_velocities(tracks, time, poses_prev, poses_new, cam)
+    s1 = jnp.mod(time, tracks.history)
+    txy = tracks.xy[:, s1]
+    model_active = jnp.concatenate([jnp.array([True]), obj.active])
+    allow_new = cfg.enable_model_spawning and cfg.object_slots > 0
+    seg_res = seg.flow_crf_segmentation(
+        state.prev_intensity, intensity, depth_filt, state.pred_depth,
+        model_active, txy, vel, pair_valid, cam, cfg.segmentation,
+        allow_new=allow_new,
+    )
+    free_slot = jnp.argmin(obj.active)  # first inactive slot
+    any_free = ~jnp.all(obj.active)
+    cooled = (state.last_spawn == 0) | (
+        time - state.last_spawn >= cfg.model_spawn_offset
+    )
+    spawn = seg_res.has_new_label & any_free & jnp.asarray(allow_new) & cooled
+    new_id = free_slot + 1
+    # final mask: outlier pixels get the spawned model's id, or (when no
+    # spawn happens) a sentinel id that belongs to NO model — the reference
+    # keeps nextModelID in fullSegmentation even without a spawn, excluding
+    # those pixels from every model's odometry and fusion
+    outlier_id = jnp.int32(n_slots + 1)
+    mask = jnp.where(
+        seg_res.new_label_mask,
+        jnp.where(spawn, new_id.astype(jnp.int32), outlier_id),
+        seg_res.mask,
+    )
+
+    # ---- track <-> segment association (MultiMotionFusion.cpp:585-604) -----
+    xi = jnp.clip(jnp.rint(txy[:, 0]).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(jnp.rint(txy[:, 1]).astype(jnp.int32), 0, h - 1)
+    seen_now = tracks.last_seen == time
+    track_label = mask[yi, xi]
+    new_model_id = jnp.where(seen_now, track_label, tracks.model_id)
+    tracks = tracks._replace(model_id=new_model_id)
+
+    # ---- spawn: initialise the free slot from the new-label pixels ---------
+    fs = sm.compute_frame_surfels(
+        rgb, vmap_raw, vmap_f, nmap_f, cam, time, scfg.depth_cutoff, 100.0
+    )  # weight 100 = the reference's spawn fuse weight (MultiMotionFusion.cpp:569)
+    spawn_valid = fs.valid & (mask == new_id).reshape(-1) & spawn
+    spawn_fs = sm.FrameSurfels(
+        data=jnp.where(spawn_valid[None], fs.data, 0.0), valid=spawn_valid
+    )
+    spawn_map = sm.init_from_frame(spawn_fs, cfg.object_capacity)
+    obj_data = jnp.where(
+        (jnp.arange(n_slots) == free_slot)[:, None, None] & spawn,
+        spawn_map.data[None], obj.data,
+    )
+    obj_count = jnp.where(
+        (jnp.arange(n_slots) == free_slot) & spawn, spawn_map.count, obj.count
+    )
+    obj_active = obj.active | ((jnp.arange(n_slots) == free_slot) & spawn)
+    obj_pose = jnp.where(
+        ((jnp.arange(n_slots) == free_slot) & spawn)[:, None, None],
+        jnp.eye(4, dtype=jnp.float32)[None], obj_poses_new,
+    )
+    obj_spawn_tick = jnp.where(
+        (jnp.arange(n_slots) == free_slot) & spawn, time, obj.spawn_tick
+    )
+
+    # ---- lost models (zero segment pixels; MultiMotionFusion.cpp:606-613) --
+    slot_px = seg_res.pixel_counts[1 : 1 + n_slots]
+    just_spawned = (jnp.arange(n_slots) == free_slot) & spawn
+    unseen = jnp.where(
+        obj_active & (slot_px == 0) & ~just_spawned, obj.unseen + 1,
+        jnp.zeros_like(obj.unseen),
+    )
+    obj_active = obj_active & (unseen < cfg.model_unseen_patience)
+
+    # ---- fusion weight (global) --------------------------------------------
+    diff = new_pose0 @ se3.inverse_T(state.prev_pose)
+    motion = jnp.maximum(
+        jnp.linalg.norm(diff[:3, 3]), jnp.linalg.norm(se3.so3_log(diff[:3, :3]))
+    )
+    weighting = (
+        jnp.maximum(1.0 - jnp.minimum(motion, 0.01) / 0.01, 0.5) * weight_multiplier
+    )
+
+    # ---- global model fuse + clean + predict -------------------------------
+    fs_w = sm.compute_frame_surfels(
+        rgb, vmap_raw, vmap_f, nmap_f, cam, time, scfg.depth_cutoff, weighting
+    )
+    sub = state.smap.bucketed(bucket_fuse)
+    im0 = rasterize.predict_indices(
+        sub, new_pose0, cam, time, scfg.time_delta, scfg.depth_cutoff
+    )
+    fused0 = fusion.fuse(sub, fs_w, im0, mask, 0, new_pose0, cam, time, scfg)
+    cleaned0 = fusion.clean(
+        fused0, im0, depth_filt, mask, 0, new_pose0, cam,
+        time, scfg.time_delta, scfg.conf_threshold, scfg,
+    )
+    gdata = state.smap.data.at[:, :bucket_fuse].set(cleaned0.data)
+    smap = sm.SurfelMap(data=gdata, count=cleaned0.count)
+    pred0 = rasterize.splat_resolve(
+        im0, cam, scfg.conf_threshold, time, time, scfg.time_delta,
+        scfg.splat_footprint,
+    )
+    conf_img = sm.pixel_confidence(cam, 1.0)
+    rad_img = sm.radius_from_depth(vmap_f[..., 2], nmap_f[..., 2], cam)
+    filled = fill_in(
+        pred0, rgb, vmap_f, nmap_f, conf_img, rad_img, cfg.frame_to_frame_rgb
+    )
+
+    # ---- object models fuse + clean + predict (vmapped over slots) ---------
+    def fuse_one(slot_idx, data, count, pose, active):
+        omap = sm.SurfelMap(data=data, count=count)
+        mask_id = slot_idx + 1
+        im = rasterize.predict_indices(
+            omap, pose, cam, time, scfg.time_delta, scfg.depth_cutoff
+        )
+        fused = fusion.fuse(omap, fs_w, im, mask, mask_id, pose, cam, time, scfg)
+        cleaned = fusion.clean(
+            fused, im, depth_filt, mask, mask_id, pose, cam,
+            time, scfg.time_delta, scfg.conf_threshold, scfg,
+        )
+        pred = rasterize.splat_resolve(
+            im, cam, scfg.conf_threshold, time, time, scfg.time_delta,
+            scfg.splat_footprint,
+        )
+        # inactive slots: keep previous state untouched
+        out_data = jnp.where(active, cleaned.data, data)
+        out_count = jnp.where(active, cleaned.count, count)
+        return out_data, out_count, pred.vertex_conf, pred.normal_rad, pred.color
+
+    odata, ocount, opvc, opnr, opcol = jax.vmap(fuse_one)(
+        jnp.arange(n_slots, dtype=jnp.int32), obj_data, obj_count, obj_pose,
+        obj_active,
+    )
+    objects = ObjectSlots(
+        data=odata, count=ocount, pose=obj_pose, active=obj_active,
+        unseen=unseen, spawn_tick=obj_spawn_tick,
+        pred_vertex_conf=opvc, pred_normal_rad=opnr, pred_color=opcol,
+    )
+
+    pred_depth = jnp.concatenate(
+        [filled.vertex_conf[None, ..., 2], opvc[..., 2]], axis=0
+    )
+
+    coarse = frame_pyr.intensity[cfg.odometry.num_pyr - 1]
+    stats = jnp.concatenate(
+        [
+            jnp.stack(
+                [
+                    odo0.icp_error, odo0.icp_count,
+                    smap.alive_count().astype(jnp.float32),
+                    smap.count.astype(jnp.float32),
+                    spawn.astype(jnp.float32),
+                    jnp.sum(obj_active.astype(jnp.float32)),
+                ]
+            ),
+            seg_res.pixel_counts.astype(jnp.float32),
+        ]
+    )
+    new_state = MultiState(
+        smap=smap, pose=new_pose0, prev_pose=state.pose, filled=filled,
+        last_intensity_coarse=coarse, tracks=tracks, rng=rng, objects=objects,
+        prev_mask=mask, prev_intensity=intensity, pred_depth=pred_depth,
+        last_spawn=jnp.where(spawn, jnp.int32(time), state.last_spawn),
+    )
+    return new_state, stats, mask

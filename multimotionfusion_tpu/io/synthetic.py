@@ -16,10 +16,14 @@ from multimotionfusion_tpu.config import CameraModel
 def _texture(p: np.ndarray) -> np.ndarray:
     """Procedural 3D texture -> RGB in 0..255, high frequency for photometric terms."""
     x, y, z = p[..., 0], p[..., 1], p[..., 2]
-    r = 127.5 + 90.0 * np.sin(9.0 * x) * np.cos(7.0 * y)
-    g = 127.5 + 90.0 * np.sin(5.0 * y + 1.0) * np.cos(11.0 * z)
-    b = 127.5 + 90.0 * np.sin(6.0 * z + 2.0) * np.cos(8.0 * x)
-    return np.stack([r, g, b], axis=-1).clip(0, 255)
+    r = 127.5 + 70.0 * np.sin(9.0 * x) * np.cos(7.0 * y)
+    g = 127.5 + 70.0 * np.sin(5.0 * y + 1.0) * np.cos(11.0 * z)
+    b = 127.5 + 70.0 * np.sin(6.0 * z + 2.0) * np.cos(8.0 * x)
+    # mid-frequency detail so photometric gradient gates see real texture at
+    # test resolutions (the low-frequency bands alone fall under the
+    # reference's minimum-gradient thresholds when downsampled)
+    d = 45.0 * np.sin(31.0 * x + 13.0 * y) * np.cos(27.0 * z - 11.0 * x)
+    return np.stack([r + d, g + d, b + d], axis=-1).clip(0, 255)
 
 
 def render(

@@ -102,8 +102,12 @@ def solve_preconditioned(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     dinv = 1.0 / d
     Ah = A * dinv[:, None] * dinv[None, :]
     bh = b * dinv
-    # tiny Tikhonov for rank-deficient scenes (textureless walls)
-    Ah = Ah + jnp.eye(A.shape[0], dtype=A.dtype) * 1e-6
+    # relative Tikhonov damping: negligible on well-conditioned systems
+    # (diagonal is 1 after Jacobi scaling) but caps the amplification of
+    # near-null directions — small object models (e.g. a lone sphere patch)
+    # have an x-translation/y-rotation degeneracy that otherwise turns
+    # curvature-bias-sized residuals into centimetre steps
+    Ah = Ah + jnp.eye(A.shape[0], dtype=A.dtype) * 1e-3
     y = jnp.linalg.solve(Ah, bh)
     x = y * dinv
     return jnp.where(jnp.all(jnp.isfinite(x)), x, jnp.zeros_like(x))
