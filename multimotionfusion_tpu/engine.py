@@ -28,8 +28,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from multimotionfusion_tpu.config import CameraModel, EngineConfig
+from multimotionfusion_tpu.config import CameraModel, EngineConfig, OdometryConfig
 from multimotionfusion_tpu.io.frame import FrameData
+from multimotionfusion_tpu.model import ferns as ferns_mod
 from multimotionfusion_tpu.model import fusion, surfel_map as sm
 from multimotionfusion_tpu.model.fillin import FilledMaps, fill_in
 from multimotionfusion_tpu.model.model import Model, _bucket_for
@@ -56,6 +57,64 @@ class GlobalState(NamedTuple):
     last_intensity_coarse: jnp.ndarray  # previous frame coarse intensity (SO3)
     tracks: tracker.TrackTable  # keypoint track table (sparse pipeline)
     rng: jnp.ndarray  # PRNG key (RANSAC sampling)
+    ferns: ferns_mod.FernDB  # loop-closure keyframe database
+    bad_track_count: jnp.ndarray  # [] int32 consecutive bad-covariance frames
+    lost: jnp.ndarray  # [] bool — relocalisation mode engaged
+
+
+def _fern_cam(cam: CameraModel, factor: int) -> CameraModel:
+    return CameraModel(
+        width=cam.width // factor, height=cam.height // factor,
+        fx=cam.fx / factor, fy=cam.fy / factor,
+        cx=cam.cx / factor, cy=cam.cy / factor,
+    )
+
+
+_FERN_ODOM = OdometryConfig(
+    num_pyr=2, iterations=(10, 5), so3_prealign=False,
+    mask_icp=False, mask_rgb=False, min_grad_magnitudes=(5.0, 3.0),
+)
+
+
+def _ferns_update(
+    state_ferns, rgb, vmap_f, nmap_f, pose, time, lost, cam: CameraModel,
+    cfg: EngineConfig,
+):
+    """Per-frame fern maintenance + relocalisation (reloc mode).
+
+    == the closeLoops/relocalisation path (MultiMotionFusion.cpp:629-695):
+    insert dissimilar keyframes; when tracking is lost, retrieve + align
+    against the closest keyframe and adopt its pose if all gates pass.
+    """
+    f = cfg.ferns.factor
+    cam_s = _fern_cam(cam, f)
+    rgb_s, vmap_s, nmap_s = ferns_mod.downsample_frame(rgb, vmap_f, nmap_f, f)
+    depth_s = vmap_s[..., 2]
+
+    def do_reloc(_):
+        r = ferns_mod.find_frame(
+            state_ferns, rgb_s, vmap_s, nmap_s, depth_s, cam_s, _FERN_ODOM
+        )
+        return r.pose, r.ok
+
+    def no_reloc(_):
+        return pose, jnp.zeros((), bool)
+
+    # the retrieval + alignment only runs while lost (lax.cond skips it on
+    # healthy frames; the reference gates the same way, :679-686)
+    reloc_pose, reloc_ok = jax.lax.cond(lost, do_reloc, no_reloc, None)
+    relocalised = lost & reloc_ok
+    pose = jnp.where(relocalised, reloc_pose, pose)
+
+    # only insert while tracking is healthy (the reference also skips fern
+    # insertion when lost: fusion path is skipped entirely, :791)
+    db, _ = ferns_mod.add_frame(
+        state_ferns, rgb_s, vmap_s, nmap_s, pose, time, 0.3095
+    )
+    db = jax.tree.map(
+        lambda new, old: jnp.where(lost, old, new), db, state_ferns
+    )
+    return db, pose, relocalised
 
 
 def _detect_keypoints(intensity, cfg: EngineConfig, sp_params):
@@ -120,7 +179,17 @@ def _init_step(rgb_u8, depth_raw, pose0, time, sp_params, cam: CameraModel, cfg:
     stats = stats.at[STAT_SURFELS].set(smap.alive_count().astype(jnp.float32))
     stats = stats.at[STAT_HWM].set(smap.count.astype(jnp.float32))
     rng = jax.random.PRNGKey(cfg.seed)
-    return GlobalState(smap, pose0, pose0, filled, coarse, tracks, rng), stats
+    fdb = ferns_mod.create(cfg.ferns, cam, seed=cfg.seed)
+    if cfg.reloc_mode:
+        fdb, _ = ferns_mod.add_frame(
+            fdb,
+            *ferns_mod.downsample_frame(rgb, vmap_f, nmap_f, cfg.ferns.factor),
+            pose0, time, 0.3095,
+        )
+    return GlobalState(
+        smap, pose0, pose0, filled, coarse, tracks, rng, fdb,
+        jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+    ), stats
 
 
 @functools.partial(
@@ -192,6 +261,26 @@ def _frame_step(
     else:
         odo = None
 
+    # ---- tracking-lost detection + fern relocalisation (reloc mode) -------
+    # (MultiMotionFusion.cpp:629-695: covariance diag > 1e-4 for > 10
+    # consecutive frames => lost; a fern match that passes all gates recovers)
+    bad_count = state.bad_track_count
+    lost = state.lost
+    if cfg.reloc_mode and odo is not None:
+        cov = jnp.linalg.inv(
+            odo.A + jnp.eye(6, dtype=jnp.float32) * 1e-12
+        )
+        bad = (jnp.max(jnp.diagonal(cov)) > 1e-4) | (odo.icp_count < 100)
+        bad_count = jnp.where(bad, bad_count + 1, 0)
+        lost = lost | (bad_count > 10)
+        ferns_db, pose, relocalised = _ferns_update(
+            state.ferns, rgb, vmap_f, nmap_f, pose, time, lost, cam, cfg
+        )
+        lost = lost & ~relocalised
+        bad_count = jnp.where(relocalised, 0, bad_count)
+    else:
+        ferns_db = state.ferns
+
     # ---- fusion weight (Model::computeFusionWeight, Model.cpp:876-891) ----
     diff = pose @ se3.inverse_T(state.prev_pose)
     motion = jnp.maximum(
@@ -214,6 +303,12 @@ def _frame_step(
         fused, im, depth_filt, mask, 0, pose, cam,
         time, scfg.time_delta, scfg.conf_threshold, scfg,
     )
+    if cfg.reloc_mode:
+        # fusion is skipped while lost (MultiMotionFusion.cpp:791)
+        cleaned = sm.SurfelMap(
+            data=jnp.where(lost, sub.data, cleaned.data),
+            count=jnp.where(lost, sub.count, cleaned.count),
+        )
     data = state.smap.data.at[:, :bucket_fuse].set(cleaned.data)
     smap = sm.SurfelMap(data=data, count=cleaned.count)
 
@@ -239,7 +334,10 @@ def _frame_step(
         stats = stats.at[STAT_RGB_COUNT].set(odo.rgb_count)
     stats = stats.at[STAT_SURFELS].set(smap.alive_count().astype(jnp.float32))
     stats = stats.at[STAT_HWM].set(smap.count.astype(jnp.float32))
-    return GlobalState(smap, pose, state.pose, filled, coarse, tracks, rng), stats
+    return GlobalState(
+        smap, pose, state.pose, filled, coarse, tracks, rng, ferns_db,
+        bad_count, lost,
+    ), stats
 
 
 class MultiMotionFusionTPU:
@@ -360,6 +458,8 @@ class MultiMotionFusionTPU:
                 prev_pose=self.mstate.prev_pose, filled=self.mstate.filled,
                 last_intensity_coarse=self.mstate.last_intensity_coarse,
                 tracks=self.mstate.tracks, rng=self.mstate.rng,
+                ferns=self.state.ferns, bad_track_count=self.state.bad_track_count,
+                lost=self.state.lost,
             )
             self._obj_pose_dev.append(
                 (frame.timestamp, self.mstate.objects.pose,
@@ -463,6 +563,76 @@ class MultiMotionFusionTPU:
                     )
             paths.append(path)
         return paths
+
+    def store_models(self, export_dir: str) -> List[str]:
+        """Persist deactivated object models to <export_dir>/model_db
+        (Model::store via inactivateModel, MultiMotionFusion.cpp:962-981)."""
+        from multimotionfusion_tpu.model import model_db
+
+        self.finish()
+        if self.mstate is None:
+            return []
+        paths = []
+        obj = self.mstate.objects
+        stored = np.asarray(obj.stored)
+        active = np.asarray(obj.active)
+        for k in range(self.cfg.object_slots):
+            if not stored[k] or active[k]:
+                continue
+            d = np.asarray(obj.data[k])
+            alive = d[sm.ALIVE] > 0
+            surfels = {
+                "position": d[sm.POS].T[alive],
+                "confidence": d[sm.CONF][alive],
+                "color": d[sm.COLOR].T[alive],
+                "normal": d[sm.NORMAL].T[alive],
+                "radius": d[sm.RADIUS][alive],
+            }
+            pose_world = np.asarray(self.mstate.pose) @ np.linalg.inv(
+                np.asarray(obj.pose[k])
+            )
+            paths.append(
+                model_db.save_model(
+                    export_dir, k + 1, surfels,
+                    np.asarray(obj.stored_desc[k]),
+                    np.asarray(obj.stored_p3d[k]),
+                    np.asarray(obj.stored_valid[k]),
+                    pose_world,
+                )
+            )
+        return paths
+
+    def restore_models(self, export_dir: str) -> int:
+        """Pre-load stored models as inactive redetection candidates
+        ('-restore', MultiMotionFusion.cpp:131-145)."""
+        from multimotionfusion_tpu.model import model_db
+
+        if self.mstate is None:
+            raise RuntimeError("restore_models requires multi-model mode + tick 1")
+        n = 0
+        obj = self.mstate.objects
+        ks = obj.stored_desc.shape[1]
+        dd = obj.stored_desc.shape[2]
+        for path in model_db.list_models(export_dir):
+            if n >= self.cfg.object_slots:
+                break
+            m = model_db.load_model(path)
+            desc = np.zeros((ks, dd), np.float32)
+            p3d = np.zeros((ks, 3), np.float32)
+            valid = np.zeros((ks,), bool)
+            cnt = min(len(m["descriptors"]), ks)
+            desc[:cnt] = m["descriptors"][:cnt, :dd]
+            p3d[:cnt] = m["coordinates"][:cnt]
+            valid[:cnt] = True
+            obj = obj._replace(
+                stored=obj.stored.at[n].set(True),
+                stored_desc=obj.stored_desc.at[n].set(jnp.asarray(desc)),
+                stored_p3d=obj.stored_p3d.at[n].set(jnp.asarray(p3d)),
+                stored_valid=obj.stored_valid.at[n].set(jnp.asarray(valid)),
+            )
+            n += 1
+        self.mstate = self.mstate._replace(objects=obj)
+        return n
 
     def save_ply(self, export_dir: str) -> List[str]:
         import os

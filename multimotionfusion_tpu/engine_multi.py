@@ -56,6 +56,13 @@ class ObjectSlots(NamedTuple):
     pred_vertex_conf: jnp.ndarray  # [S, H, W, 4]
     pred_normal_rad: jnp.ndarray  # [S, H, W, 4]
     pred_color: jnp.ndarray  # [S, H, W, 3]
+    # redetection snapshot, captured at deactivation (Model::store keeps the
+    # model's track descriptors + model-local coordinates; here the snapshot
+    # stays on device so re-attachment is in-graph, Model.cpp:781-874)
+    stored: jnp.ndarray  # [S] bool — slot holds a deactivated model
+    stored_desc: jnp.ndarray  # [S, Ks, D]
+    stored_p3d: jnp.ndarray  # [S, Ks, 3] model-local coordinates
+    stored_valid: jnp.ndarray  # [S, Ks]
 
     @property
     def num_slots(self) -> int:
@@ -82,6 +89,8 @@ class MultiState(NamedTuple):
 def empty_objects(cfg: EngineConfig, cam: CameraModel) -> ObjectSlots:
     s = cfg.object_slots
     h, w = cam.height, cam.width
+    ks = cfg.keypoints.max_keypoints
+    d = cfg.keypoints.desc_dim
     return ObjectSlots(
         data=jnp.zeros((s, sm.CHANNELS, cfg.object_capacity), jnp.float32),
         count=jnp.zeros((s,), jnp.int32),
@@ -92,6 +101,10 @@ def empty_objects(cfg: EngineConfig, cam: CameraModel) -> ObjectSlots:
         pred_vertex_conf=jnp.zeros((s, h, w, 4), jnp.float32),
         pred_normal_rad=jnp.zeros((s, h, w, 4), jnp.float32),
         pred_color=jnp.zeros((s, h, w, 3), jnp.float32),
+        stored=jnp.zeros((s,), bool),
+        stored_desc=jnp.zeros((s, ks, d), jnp.float32),
+        stored_p3d=jnp.zeros((s, ks, 3), jnp.float32),
+        stored_valid=jnp.zeros((s, ks), bool),
     )
 
 
@@ -265,21 +278,67 @@ def multi_frame_step(
         model_active, txy, vel, pair_valid, cam, cfg.segmentation,
         allow_new=allow_new,
     )
-    free_slot = jnp.argmin(obj.active)  # first inactive slot
+    # ---- redetection: try to re-attach a STORED inactive model to the new
+    # segment before spawning a fresh one (Model::getBestMatch semantics:
+    # descriptor match + RANSAC, gates error < 0.01 and > 5 inliers,
+    # Model.cpp:781-874 / MultiMotionFusion.cpp:490-559) -------------------
+    kp_p3d, kp_hasd = tracker.backproject_keypoints(kps, depth_filt, cam)
+    kxi = jnp.clip(jnp.rint(kps.xy[:, 0]).astype(jnp.int32), 0, w - 1)
+    kyi = jnp.clip(jnp.rint(kps.xy[:, 1]).astype(jnp.int32), 0, h - 1)
+    in_seg = seg_res.new_label_mask[kyi, kxi] & kps.valid & kp_hasd
+
+    def redetect_one(sdesc, sp3d, svalid, key):
+        match_idx, _ = tracker.mutual_match(
+            kps.desc, sdesc, in_seg, svalid, cfg.keypoints.patch_gate
+        )
+        matched = match_idx >= 0
+        pm = sp3d[jnp.where(matched, match_idx, 0)]
+        res = ransac_ops.ransac_fit(key, pm, kp_p3d, matched, cfg.ransac)
+        ok = (
+            res.ok
+            & (res.num_inliers > 5)
+            & (res.error < 0.01)
+            & jnp.all(jnp.isfinite(res.transform))
+        )
+        return ok, res.error, res.transform
+
+    rng, *rkeys = jax.random.split(rng, n_slots + 1)
+    red_ok, red_err, red_T = jax.vmap(redetect_one)(
+        obj.stored_desc, obj.stored_p3d, obj.stored_valid, jnp.stack(rkeys)
+    )
+    redetect_enabled = cfg.enable_redetection and allow_new
+    red_ok = (
+        red_ok & obj.stored & ~obj.active
+        & seg_res.has_new_label & jnp.asarray(redetect_enabled)
+    )
+    any_red = jnp.any(red_ok)
+    red_slot = jnp.argmin(jnp.where(red_ok, red_err, jnp.inf))
+
+    # spawn target: prefer slots that are neither active nor holding a stored
+    # model; fall back to overwriting a stored one
+    slot_score = obj.active.astype(jnp.int32) * 2 + (
+        obj.stored & ~obj.active
+    ).astype(jnp.int32)
+    free_slot = jnp.argmin(slot_score)
     any_free = ~jnp.all(obj.active)
     cooled = (state.last_spawn == 0) | (
         time - state.last_spawn >= cfg.model_spawn_offset
     )
-    spawn = seg_res.has_new_label & any_free & jnp.asarray(allow_new) & cooled
-    new_id = free_slot + 1
-    # final mask: outlier pixels get the spawned model's id, or (when no
-    # spawn happens) a sentinel id that belongs to NO model — the reference
-    # keeps nextModelID in fullSegmentation even without a spawn, excluding
-    # those pixels from every model's odometry and fusion
+    spawn = (
+        seg_res.has_new_label & any_free & jnp.asarray(allow_new) & cooled
+        & ~any_red
+    )
+    target_slot = jnp.where(any_red, red_slot, free_slot)
+    claim = spawn | any_red  # the segment gets a model id this frame
+    new_id = target_slot + 1
+    # final mask: outlier pixels get the claimed model's id, or (when no
+    # spawn/redetect happens) a sentinel id that belongs to NO model — the
+    # reference keeps nextModelID in fullSegmentation even without a spawn,
+    # excluding those pixels from every model's odometry and fusion
     outlier_id = jnp.int32(n_slots + 1)
     mask = jnp.where(
         seg_res.new_label_mask,
-        jnp.where(spawn, new_id.astype(jnp.int32), outlier_id),
+        jnp.where(claim, new_id.astype(jnp.int32), outlier_id),
         seg_res.mask,
     )
 
@@ -300,30 +359,62 @@ def multi_frame_step(
         data=jnp.where(spawn_valid[None], fs.data, 0.0), valid=spawn_valid
     )
     spawn_map = sm.init_from_frame(spawn_fs, cfg.object_capacity)
+    is_spawn_slot = (jnp.arange(n_slots) == target_slot) & spawn
+    is_red_slot = (jnp.arange(n_slots) == target_slot) & any_red
     obj_data = jnp.where(
-        (jnp.arange(n_slots) == free_slot)[:, None, None] & spawn,
-        spawn_map.data[None], obj.data,
+        is_spawn_slot[:, None, None], spawn_map.data[None], obj.data
     )
-    obj_count = jnp.where(
-        (jnp.arange(n_slots) == free_slot) & spawn, spawn_map.count, obj.count
-    )
-    obj_active = obj.active | ((jnp.arange(n_slots) == free_slot) & spawn)
+    obj_count = jnp.where(is_spawn_slot, spawn_map.count, obj.count)
+    obj_active = obj.active | is_spawn_slot | is_red_slot
+    obj_stored = obj.stored & ~is_spawn_slot & ~is_red_slot
+    # spawned models start at identity; redetected ones adopt the RANSAC pose
+    # (maps camera points onto the stored model frame, Model::activate)
     obj_pose = jnp.where(
-        ((jnp.arange(n_slots) == free_slot) & spawn)[:, None, None],
-        jnp.eye(4, dtype=jnp.float32)[None], obj_poses_new,
+        is_spawn_slot[:, None, None],
+        jnp.eye(4, dtype=jnp.float32)[None],
+        jnp.where(is_red_slot[:, None, None], red_T[red_slot][None], obj_poses_new),
     )
-    obj_spawn_tick = jnp.where(
-        (jnp.arange(n_slots) == free_slot) & spawn, time, obj.spawn_tick
-    )
+    obj_spawn_tick = jnp.where(is_spawn_slot | is_red_slot, time, obj.spawn_tick)
 
     # ---- lost models (zero segment pixels; MultiMotionFusion.cpp:606-613) --
     slot_px = seg_res.pixel_counts[1 : 1 + n_slots]
-    just_spawned = (jnp.arange(n_slots) == free_slot) & spawn
+    just_claimed = is_spawn_slot | is_red_slot
     unseen = jnp.where(
-        obj_active & (slot_px == 0) & ~just_spawned, obj.unseen + 1,
+        obj_active & (slot_px == 0) & ~just_claimed, obj.unseen + 1,
         jnp.zeros_like(obj.unseen),
     )
+    was_active = obj_active
     obj_active = obj_active & (unseen < cfg.model_unseen_patience)
+    dying = was_active & ~obj_active
+
+    # ---- snapshot dying models for redetection (Model::store) -------------
+    ks = obj.stored_desc.shape[1]
+
+    def snapshot_one(slot_idx, pose_slot):
+        sel = tracks.active & (tracks.model_id == slot_idx + 1)
+        s_last = jnp.mod(tracks.last_seen, tracks.history)
+        p_cam = jnp.take_along_axis(
+            tracks.p3d, s_last[:, None, None], axis=1
+        )[:, 0]
+        hasd = jnp.take_along_axis(tracks.has_depth, s_last[:, None], axis=1)[:, 0]
+        valid = sel & hasd
+        pm = se3.transform_points(pose_slot, p_cam)
+        rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
+        dest = jnp.where(valid & (rank < ks), rank, ks)
+        d_out = jnp.zeros((ks + 1, tracks.desc.shape[1])).at[dest].set(
+            tracks.desc, mode="drop"
+        )[:ks]
+        p_out = jnp.zeros((ks + 1, 3)).at[dest].set(pm, mode="drop")[:ks]
+        v_out = jnp.zeros((ks + 1,), bool).at[dest].set(valid, mode="drop")[:ks]
+        return d_out, p_out, v_out
+
+    snap_d, snap_p, snap_v = jax.vmap(snapshot_one)(
+        jnp.arange(n_slots, dtype=jnp.int32), obj_pose
+    )
+    obj_stored = obj_stored | dying
+    stored_desc = jnp.where(dying[:, None, None], snap_d, obj.stored_desc)
+    stored_p3d = jnp.where(dying[:, None, None], snap_p, obj.stored_p3d)
+    stored_valid = jnp.where(dying[:, None], snap_v, obj.stored_valid)
 
     # ---- fusion weight (global) --------------------------------------------
     diff = new_pose0 @ se3.inverse_T(state.prev_pose)
@@ -388,6 +479,8 @@ def multi_frame_step(
         data=odata, count=ocount, pose=obj_pose, active=obj_active,
         unseen=unseen, spawn_tick=obj_spawn_tick,
         pred_vertex_conf=opvc, pred_normal_rad=opnr, pred_color=opcol,
+        stored=obj_stored, stored_desc=stored_desc, stored_p3d=stored_p3d,
+        stored_valid=stored_valid,
     )
 
     pred_depth = jnp.concatenate(
@@ -413,6 +506,6 @@ def multi_frame_step(
         smap=smap, pose=new_pose0, prev_pose=state.pose, filled=filled,
         last_intensity_coarse=coarse, tracks=tracks, rng=rng, objects=objects,
         prev_mask=mask, prev_intensity=intensity, pred_depth=pred_depth,
-        last_spawn=jnp.where(spawn, jnp.int32(time), state.last_spawn),
+        last_spawn=jnp.where(claim, jnp.int32(time), state.last_spawn),
     )
     return new_state, stats, mask

@@ -61,6 +61,20 @@ class KlgLogReader(LogReader):
         return self.num_frames
 
     def __iter__(self) -> Iterator[FrameData]:
+        # prefer the native prefetching decoder (native/klg_loader.cpp)
+        from multimotionfusion_tpu.io import native
+
+        if native.available():
+            reader = native.NativeKlgReader(self.path, self.width, self.height)
+            try:
+                for i, (ts, depth, rgb) in enumerate(reader.frames()):
+                    yield FrameData(rgb=rgb, depth=depth, timestamp=ts, name=str(i))
+            finally:
+                reader.close()
+            return
+        yield from self._iter_python()
+
+    def _iter_python(self) -> Iterator[FrameData]:
         import cv2
 
         n_pix = self.width * self.height

@@ -83,7 +83,12 @@ def render(
     # depth = z in CAMERA frame
     p_cam = (points_w - t) @ R
     depth = np.where(hit, p_cam[..., 2], 0.0).astype(np.float32)
-    rgb = np.where(hit[..., None], _texture(points_w), 0.0).astype(np.float32)
+    # the sphere's texture is anchored to the OBJECT (local coordinates), so a
+    # moving object keeps its appearance — required for descriptor tracking
+    # and redetection to be physically meaningful
+    sphere_hit = hit & np.isclose(t_hit, t_sph)
+    tex_p = np.where(sphere_hit[..., None], points_w - c + 0.8, points_w)
+    rgb = np.where(hit[..., None], _texture(tex_p), 0.0).astype(np.float32)
     return depth, rgb
 
 

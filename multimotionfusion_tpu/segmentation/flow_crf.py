@@ -65,7 +65,10 @@ def reprojection_probability(
     invalid = jnp.any(
         (frame_depth_c[None] < 1e-6) & (pred_depth_c < 1e-6), axis=0
     )
-    dist = jnp.minimum(dist, max_err)
+    # NO truncation (the reference truncates at max_err before exp,
+    # Segmentation.cpp:843): with raw rows the exp(-1) floor would keep a
+    # grossly wrong model competitive against the outlier class; untruncated,
+    # a metre-scale misfit scores ~0 as it should
     raw = jnp.exp(-dist / max_err)
     # a model without prediction coverage at a pixel cannot claim it
     raw = jnp.where(pred_depth_c > 1e-6, raw, 0.0)
