@@ -564,6 +564,60 @@ class MultiMotionFusionTPU:
             paths.append(path)
         return paths
 
+    # -- runtime controls (reference ROS services, RosInterface.cpp:5-37) --
+    # Config is static under jit, so mode switches swap the config object;
+    # the next frame compiles (and caches) the new variant.
+
+    def reset(self):
+        """Service 'reset': drop all state, restart at tick 1."""
+        self.tick = 1
+        self.state = None
+        self.mstate = None
+        self.models = [Model(0, self.cfg)]
+        self._stats_dev.clear()
+        self._pose_dev.clear()
+        self._obj_pose_dev.clear()
+        self._hwm = 0
+        self._hwm_tick = 0
+
+    def set_odom_init(self, mode: str):
+        """Service 'set_odom_init' ('kp' | 'tf' | '')."""
+        import dataclasses
+
+        assert mode in ("kp", "tf", "")
+        self.cfg = dataclasses.replace(self.cfg, odom_init=mode)
+
+    def set_icp_refine(self, enabled: bool):
+        import dataclasses
+
+        self.cfg = dataclasses.replace(self.cfg, icp_refine=enabled)
+
+    def set_segm_mode(self, mode: str):
+        import dataclasses
+
+        self.cfg = dataclasses.replace(
+            self.cfg,
+            segmentation=dataclasses.replace(self.cfg.segmentation, mode=mode),
+        )
+
+    def set_inhibit_new_models(self, inhibit: bool):
+        import dataclasses
+
+        self.cfg = dataclasses.replace(
+            self.cfg, enable_model_spawning=not inhibit
+        )
+
+    def deactivate_model(self, model_id: int):
+        """Service 'deactivate_model': force an object slot inactive."""
+        if self.mstate is None or model_id < 1:
+            return False
+        slot = model_id - 1
+        obj = self.mstate.objects
+        self.mstate = self.mstate._replace(
+            objects=obj._replace(active=obj.active.at[slot].set(False))
+        )
+        return True
+
     def store_models(self, export_dir: str) -> List[str]:
         """Persist deactivated object models to <export_dir>/model_db
         (Model::store via inactivateModel, MultiMotionFusion.cpp:962-981)."""

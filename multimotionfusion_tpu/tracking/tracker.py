@@ -185,6 +185,56 @@ def prune(table: TrackTable, time, cfg: KeypointConfig, fps: float = 30.0) -> Tr
     return table._replace(active=table.active & ~drop)
 
 
+def pair_between(table: TrackTable, t_a, t_b):
+    """(p_a, p_b, valid): per-track 3D points at two ticks within the ring.
+
+    Valid when both ring slots hold an observation with depth AND the slots
+    have not been overwritten (ticks within `history` of each other and of
+    the track's last update)."""
+    hist = table.history
+    sa = jnp.mod(t_a, hist)
+    sb = jnp.mod(t_b, hist)
+    pa = table.p3d[:, sa]
+    pb = table.p3d[:, sb]
+    fresh = (table.last_seen - t_a < hist) & (table.last_seen - t_b < hist)
+    valid = (
+        table.active
+        & table.seen[:, sa] & table.seen[:, sb]
+        & table.has_depth[:, sa] & table.has_depth[:, sb]
+        & fresh
+    )
+    return pa, pb, valid
+
+
+def refine_track_subset(
+    table: TrackTable,
+    model_sel: jnp.ndarray,  # [T] bool — the model's tracks
+    time,
+    length: int,
+    rng,
+    ransac_cfg,
+):
+    """Back-date a new model's trajectory by per-step rigid fits over its
+    track history (Model::refineTrackSubset, Model.cpp:649-737).
+
+    Returns [length, 4, 4] relative transforms T_k with
+    p(time-k-1) ~ T_k p(time-k), identity where the fit fails."""
+    from multimotionfusion_tpu.ops import ransac as ransac_ops
+
+    out = []
+    for k in range(length):
+        p1, p0_prev = time - k, time - k - 1
+        pa, pb, valid = pair_between(table, p0_prev, p1)
+        valid = valid & model_sel
+        rng, sub = jax.random.split(rng)
+        res = ransac_ops.ransac_fit(sub, pa, pb, valid, ransac_cfg)
+        ok = res.ok & jnp.all(jnp.isfinite(res.transform)) & (
+            jnp.sum(valid.astype(jnp.int32)) >= 3
+        )
+        out.append(jnp.where(ok, res.transform, jnp.eye(4, dtype=jnp.float32)))
+    return jnp.stack(out), rng
+
+
 def last_pair(table: TrackTable, time) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(p0, p1, valid): 3D points of each track at ticks time-1 and time.
 

@@ -119,3 +119,23 @@ def test_open_log_dispatch(tmp_path):
 
     with pytest.raises(NotImplementedError):
         open_log("x.bag")
+
+
+def test_runtime_controls():
+    """Runtime control surface (reference ROS services, RosInterface.cpp)."""
+    engine = _engine()
+    reader = SyntheticLogReader(CAM, num_frames=3)
+    it = iter(reader)
+    engine.process_frame(next(it))
+    engine.process_frame(next(it))
+    assert engine.tick == 3
+    engine.set_odom_init("")
+    assert engine.cfg.odom_init == ""
+    engine.set_icp_refine(True)
+    engine.set_segm_mode("flow_crf")
+    engine.set_inhibit_new_models(True)
+    assert not engine.cfg.enable_model_spawning
+    engine.reset()
+    assert engine.tick == 1 and engine.state is None
+    engine.process_frame(next(it))
+    assert engine.tick == 2

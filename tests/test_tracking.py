@@ -142,3 +142,30 @@ def test_engine_kp_init_end_to_end():
     gt = np.stack(reader.gt_poses)
     ate = np.sqrt(np.mean(np.sum((est[:, :3, 3] - gt[:, :3, 3]) ** 2, axis=-1)))
     assert ate < 0.01, ate
+
+
+def test_refine_track_subset_backdates_motion():
+    """A constantly moving point set tracked for several frames: the per-step
+    rigid fits must recover the inter-frame motion for every step."""
+    import jax
+
+    from multimotionfusion_tpu.config import RansacConfig
+
+    table = tracker.empty(KCFG.max_tracks, KCFG.track_history, KCFG.desc_dim)
+    step = np.array([0.02, 0.0, -0.01], np.float32)
+    for t in range(1, 5):
+        T_wc = synthetic.pose((0, 0, 0), tuple(step * t))
+        d, i = _frame(T_wc)
+        kps = sp.patch_detect(i, KCFG.max_keypoints)
+        table = tracker.add_keypoints(table, kps, d, t, CAM, KCFG)
+
+    sel = table.active  # single-model: all tracks
+    rel, _ = tracker.refine_track_subset(
+        table, sel, 4, 3, jax.random.PRNGKey(0),
+        RansacConfig(inlier_threshold=0.02),
+    )
+    rel = np.asarray(rel)
+    # camera moved +step each tick => points moved -step in camera frame
+    # => p(t-1) = p(t) + step => T_k translation ~ +step
+    for k in range(3):
+        assert np.linalg.norm(rel[k][:3, 3] - step) < 0.02, (k, rel[k][:3, 3])  # ~1px parallax
