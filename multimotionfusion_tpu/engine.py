@@ -366,6 +366,7 @@ class MultiMotionFusionTPU:
         self._pose_dev: List[tuple] = []  # (timestamp, device pose)
         self._hwm = 0
         self._hwm_tick = 0  # tick at which _hwm was read
+        self._zero_mask = None  # cached device-side all-zeros mask
 
     @property
     def global_model(self) -> Model:
@@ -403,13 +404,21 @@ class MultiMotionFusionTPU:
         weight_multiplier: float = 1.0,
     ) -> Dict[str, float]:
         cam = self.cam
-        rgb_u8 = jnp.asarray(frame.rgb)
-        depth_raw = jnp.asarray(frame.depth)
-        mask = (
-            jnp.asarray(frame.mask.astype(np.int32))
-            if frame.mask is not None
-            else jnp.zeros((cam.height, cam.width), jnp.int32)
+        # ONE batched host->device transfer per frame; per-array jnp.asarray
+        # calls each enqueue a separate tunnel round-trip on remote backends,
+        # and a fresh jnp.zeros mask would add a per-frame executable launch
+        if self._zero_mask is None:
+            self._zero_mask = jnp.zeros((cam.height, cam.width), jnp.int32)
+        mask_np = (
+            frame.mask.astype(np.int32) if frame.mask is not None else None
         )
+        if mask_np is not None:
+            rgb_u8, depth_raw, mask = jax.device_put(
+                (frame.rgb, frame.depth, mask_np)
+            )
+        else:
+            rgb_u8, depth_raw = jax.device_put((frame.rgb, frame.depth))
+            mask = self._zero_mask
 
         if self.tick == 1:
             pose0 = jnp.asarray(
