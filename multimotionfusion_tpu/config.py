@@ -79,6 +79,18 @@ class OdometryConfig:
     # MXU reductions, which is why this sits above 1e-6). The reference always
     # burns its full iteration budget (no analogue).
     convergence_eps: float = 5e-6
+    # Evaluate the level-0 GN systems on a stride-N pixel grid (1 = every
+    # pixel, like the reference). At 640x480 the full-res grid gives ~3e5
+    # residual rows for 6 unknowns; stride 2 keeps ~7.6e4 rows (still vastly
+    # overdetermined; measured ATE impact on the synthetic suite is at the
+    # run-to-run noise floor) and cuts the per-iteration warp gather — the
+    # single hottest op of the whole frame — by ~4x. The sampling bank and
+    # warp stay full-resolution, so no detail is lost to pre-filtering.
+    fine_subsample: int = 2
+    # Produce full-resolution per-pixel ICP/RGB error images at the final
+    # pose (one extra full-res evaluation). Only the legacy CoFusion CRF
+    # consumes them (Segmentation.cpp:212-332); off by default.
+    error_images: bool = False
 
     def schedule(self) -> Tuple[int, ...]:
         if self.fast_odom:

@@ -250,7 +250,7 @@ def _frame_step(
             state.filled.vertex_conf[..., :3],
             state.filled.normal_rad[..., :3],
             imops.rgb_to_intensity(state.filled.color),
-            state.pose, cam, cfg.odometry, 0,
+            cam, cfg.odometry, 0,
         )
         seeded = cfg.odom_init == "kp"
         odo = rgbd.get_incremental_transformation(

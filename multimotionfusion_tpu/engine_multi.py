@@ -207,7 +207,7 @@ def multi_frame_step(
         state.filled.vertex_conf[..., :3],
         state.filled.normal_rad[..., :3],
         imops.rgb_to_intensity(state.filled.color),
-        state.pose, cam, cfg.odometry, 0,
+        cam, cfg.odometry, 0,
     )
     seeded = cfg.odom_init == "kp"
     odo0 = rgbd.get_incremental_transformation(
@@ -249,7 +249,7 @@ def multi_frame_step(
     def track_one(slot_idx, slot_pose, seed_pose, pvc, pnr, pcol):
         levels = lv.build_level_data(
             frame_pyr, pvc[..., :3], pnr[..., :3],
-            imops.rgb_to_intensity(pcol), slot_pose, cam, cfg.odometry,
+            imops.rgb_to_intensity(pcol), cam, cfg.odometry,
             slot_idx + 1,
         )
         odo = rgbd.get_incremental_transformation(

@@ -191,7 +191,7 @@ def find_frame(
     )
     levels = lv.build_level_data(
         frame_pyr, kf_vmap, kf_nmap, imops.rgb_to_intensity(kf_rgb),
-        kf_pose, cam_s, odom_cfg, 0,
+        cam_s, odom_cfg, 0,
     )
     coarse = imops.build_pyramid(
         imops.rgb_to_intensity(kf_rgb), odom_cfg.num_pyr

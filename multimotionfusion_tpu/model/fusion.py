@@ -20,6 +20,7 @@ Everything is a pure jittable function of (SurfelMap, frame arrays) -> SurfelMap
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from multimotionfusion_tpu.config import CameraModel, SurfelConfig
@@ -126,13 +127,18 @@ def fuse(
 
     # every participating pixel lies on the time-parity checkerboard
     # (x%2 == y%2 == time%2), so all scatter work below runs on the exact
-    # [H/2, W/2] subgrid: a dynamic roll aligns the parity to (0,0), then a
-    # static stride-2 slice — 4x fewer scatter indices than full-res
+    # [H/2, W/2] subgrid: a dynamic-slice aligns the parity to (0,0), then a
+    # static stride-2 slice — 4x fewer scatter indices than full-res.
+    # (dynamic_slice, NOT jnp.roll: a roll by a traced amount lowers to a
+    # gather per image, ~0.8 ms each at 640x480; the slice is a plain copy.
+    # img[par::2, par::2] == roll-then-stride because h, w are even.)
     par = ti % 2
 
     def cb(img):
-        rolled = jnp.roll(img, (-par, -par), axis=(-2, -1))
-        return rolled[..., ::2, ::2]
+        hh, ww = img.shape[-2], img.shape[-1]
+        start = (jnp.int32(0),) * (img.ndim - 2) + (par, par)
+        sizes = img.shape[:-2] + (hh - 1, ww - 1)
+        return jax.lax.dynamic_slice(img, start, sizes)[..., ::2, ::2]
 
     hc, wc = h // 2, w // 2
     n_cb = hc * wc
@@ -181,14 +187,22 @@ def fuse(
     merged = merged.at[sm.CONF].set(c_k + a)
     merged = merged.at[sm.LAST_T].set(jnp.float32(time))
 
-    data = smap.data.at[:, jnp.where(is_winner, target, smap.capacity)].set(
-        merged, mode="drop"
-    )
-    fused = sm.SurfelMap(data=data, count=smap.count)
-
-    # --- append new unstable (data.vert updateId=2 -> newUnstableBuffer) --
+    # --- merge + append in ONE scatter -------------------------------------
+    # merge writes go to winning surfel ids (< count); new unstable surfels
+    # (data.vert updateId=2 -> newUnstableBuffer) go to fresh slots after the
+    # high-water mark. Target sets are disjoint, so both writes share a single
+    # [16, 2*n_cb] scatter instead of two full scatter passes over the map.
+    cap = smap.capacity
+    merge_dst = jnp.where(is_winner, target, cap)
     new_mask = cb(participate).reshape(n_cb) & ~merging
-    return sm.append(fused, new_global, new_mask)
+    new_i = new_mask.astype(jnp.int32)
+    append_dst = smap.count + jnp.cumsum(new_i) - 1
+    append_dst = jnp.where(new_mask & (append_dst < cap), append_dst, cap)
+    dst = jnp.concatenate([merge_dst, append_dst])
+    vals = jnp.concatenate([merged, new_global], axis=1)
+    data = smap.data.at[:, dst].set(vals, mode="drop")
+    n_new = jnp.minimum(jnp.sum(new_i), cap - smap.count)
+    return sm.SurfelMap(data=data, count=smap.count + n_new)
 
 
 def clean(
@@ -286,14 +300,16 @@ def clean(
     )
     cull_vis = has_winner & ((count > 8) | (z_count > 4))
 
-    # scatter per-pixel verdicts back to the winning surfels
+    # scatter per-pixel verdicts back to the winning surfels. Cull votes and
+    # confidence penalties share ONE scatter-min: a cull vote encodes as -1
+    # (dominates any penalty in [0,1]), otherwise the penalty itself.
     ids = jnp.where(has_winner, idx_img, cap).reshape(-1)
-    cull_flags = (
-        jnp.zeros((cap + 1,), jnp.int32)
-        .at[ids]
-        .max(cull_vis.reshape(-1).astype(jnp.int32))[:cap]
+    verdict = jnp.where(cull_vis, -1.0, pen).reshape(-1)
+    verdict_per_surfel = (
+        jnp.ones((cap,), jnp.float32).at[ids].min(verdict, mode="drop")
     )
-    pen_per_surfel = jnp.ones((cap + 1,), jnp.float32).at[ids].min(pen.reshape(-1))[:cap]
+    cull_flags = (verdict_per_surfel < 0.0).astype(jnp.int32)
+    pen_per_surfel = jnp.where(cull_flags == 1, 1.0, verdict_per_surfel)
 
     keep = smap.alive_mask() & (cull_flags == 0)
     # unstable-age cull: never reached confThreshold within the grace period

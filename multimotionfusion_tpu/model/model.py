@@ -115,10 +115,19 @@ def _predict_fillin(
 
 
 def _bucket_for(n: int, capacity: int, floor: int = 1 << 15) -> int:
-    """Smallest power-of-two bucket >= n (host-side; one jit cache per size)."""
+    """Smallest work bucket >= n (host-side; one jit cache per size).
+
+    Buckets are powers of two up to 2^18, then multiples of 2^16: per-surfel
+    scatter cost is linear in the bucket, and a pure power-of-two ladder
+    wastes up to 2x (a 307k-surfel map would pay for 524k); the finer rungs
+    cost a handful of extra compiles over a run, each cached thereafter.
+    """
     b = floor
-    while b < n:
+    while b < n and b < (1 << 18):
         b <<= 1
+    if b < n:
+        step = 1 << 16
+        b = -(-n // step) * step
     return min(b, capacity)
 
 
@@ -185,7 +194,7 @@ class Model:
         pred_n = self.filled.normal_rad[..., :3]
         pred_i = mapops_intensity(self.filled.color)
         levels = lv.build_level_data(
-            frame_pyr, pred_v, pred_n, pred_i, self.pose, cam,
+            frame_pyr, pred_v, pred_n, pred_i, cam,
             self.cfg.odometry, mask_id,
         )
         result = rgbd.get_incremental_transformation(

@@ -61,13 +61,18 @@ def build_level_data(
     pred_vmap_cam: jnp.ndarray,  # [H,W,3] prediction vertices, prediction camera frame
     pred_nmap_cam: jnp.ndarray,
     pred_intensity: jnp.ndarray,  # [H,W] prediction intensity
-    model_pose: jnp.ndarray,  # [4,4] prediction pose (camera->global)
     cam: CameraModel,
     cfg: OdometryConfig,
     mask_id: int | jnp.ndarray = 0,
 ) -> List[LevelData]:
-    """Build per-level LevelData for one model's tracking step."""
-    # prediction pyramids: resize camera-frame maps, then transform to global
+    """Build per-level LevelData for one model's tracking step.
+
+    Prediction maps stay in the PREDICTION CAMERA frame throughout: the GN
+    solver associates/warps in that frame (rigid-invariant gates), so the
+    reference's camera->global->camera round trip (initICPModel's tranformMaps,
+    RGBDOdometry.cpp:120-140) is dropped — it only adds f32 cancellation error
+    far from the world origin.
+    """
     vpyr_cam = [pred_vmap_cam]
     npyr_cam = [pred_nmap_cam]
     for _ in range(cfg.num_pyr - 1):
@@ -80,7 +85,7 @@ def build_level_data(
 
     levels = []
     for lvl in range(cfg.num_pyr):
-        v_g, n_g = mapops.transform_maps(vpyr_cam[lvl], npyr_cam[lvl], model_pose)
+        v_g, n_g = vpyr_cam[lvl], npyr_cam[lvl]
         mask_lvl = frame.mask[lvl]
         if cfg.mask_icp:
             vmap_curr = mapops.create_vmap(

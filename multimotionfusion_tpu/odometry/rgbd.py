@@ -61,8 +61,8 @@ class LevelData(NamedTuple):
 
     vmap_curr: jnp.ndarray  # [H,W,3] current frame vertices (camera frame)
     nmap_curr: jnp.ndarray  # [H,W,3]
-    vmap_prev: jnp.ndarray  # [H,W,3] predicted model vertices (GLOBAL frame)
-    nmap_prev: jnp.ndarray  # [H,W,3] (global frame)
+    vmap_prev: jnp.ndarray  # [H,W,3] predicted model vertices (prediction CAMERA frame)
+    nmap_prev: jnp.ndarray  # [H,W,3] (prediction camera frame)
     depth_last: jnp.ndarray  # [H,W] prediction depth (m)
     depth_next: jnp.ndarray  # [H,W] frame depth (m)
     img_last: jnp.ndarray  # [H,W] prediction intensity 0..255
@@ -142,7 +142,9 @@ def clamp_step(x: jnp.ndarray, max_trans: float = 0.1, max_rot: float = 0.1) -> 
     return x * scale
 
 
-def pack_bilinear_bank(maps: Sequence[jnp.ndarray]) -> jnp.ndarray:
+def pack_bilinear_bank(
+    maps: Sequence[jnp.ndarray], dtype=jnp.bfloat16
+) -> jnp.ndarray:
     """Pre-shift the four bilinear taps of a set of maps into one wide array.
 
     TPU gathers cost ~2-3 ms per 300k indices regardless of how few channels
@@ -151,13 +153,19 @@ def pack_bilinear_bank(maps: Sequence[jnp.ndarray]) -> jnp.ndarray:
     TPU). Packing maps and their (+1,0),(0,+1),(+1,+1) shifts channel-wise —
     shifts are loop-invariant and hoisted — lets each iteration fetch ALL taps
     of ALL maps with ONE gather. Returns [H, W, 4*C].
+
+    The bank is stored bf16 by default: gather time at 640x480 scales with
+    bank bytes once the bank exceeds VMEM, and bf16 halves it. Rounding is
+    zero-mean at ~0.2% relative; the GN normal equations average it over
+    ~3e5 rows (blend math and rows stay f32). Pass dtype=jnp.float32 to
+    disable (used by tests asserting tap exactness).
     """
     chans = [m if m.ndim == 3 else m[..., None] for m in maps]
     base = jnp.concatenate(chans, axis=-1)
     t01 = jnp.pad(base[:, 1:], ((0, 0), (0, 1), (0, 0)))
     t10 = jnp.pad(base[1:], ((0, 1), (0, 0), (0, 0)))
     t11 = jnp.pad(base[1:, 1:], ((0, 1), (0, 1), (0, 0)))
-    return jnp.concatenate([base, t01, t10, t11], axis=-1)
+    return jnp.concatenate([base, t01, t10, t11], axis=-1).astype(dtype)
 
 
 def bilinear_taps(bank: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, c: int):
@@ -172,7 +180,7 @@ def bilinear_taps(bank: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, c: int):
     inb = (u0i >= 0) & (v0i >= 0) & (u0i < w - 1) & (v0i < h - 1)
     u0c = jnp.clip(u0i, 0, w - 2)
     v0c = jnp.clip(v0i, 0, h - 2)
-    g = bank[v0c, u0c]  # ONE gather: [H, W, 4c]
+    g = bank[v0c, u0c].astype(jnp.float32)  # ONE gather: [H, W, 4c]
     taps = [g[..., i * c : (i + 1) * c] for i in range(4)]
     return taps, (u - u0), (v - v0), inb
 
@@ -198,16 +206,117 @@ def _interp_valid(taps, fu, fv, inb, sl: slice):
     return jnp.where(ok[..., None], val, 0.0), ok
 
 
-def icp_system_from_taps(
-    taps,
-    fu,
-    fv,
-    inb,
+class PredSample(NamedTuple):
+    """Bilinearly sampled prediction fields at the warp coordinates."""
+
+    d_cp: jnp.ndarray | None  # [H,W,3] prediction vertex (prev cam frame)
+    d_ok: jnp.ndarray | None
+    n_cp: jnp.ndarray | None  # [H,W,3] prediction normal (unnormalised blend)
+    n_ok: jnp.ndarray | None
+    depth_last: jnp.ndarray | None  # [H,W] prediction depth (RGB term)
+    depth_ok: jnp.ndarray | None
+    img_last: jnp.ndarray | None  # [H,W] prediction intensity
+    img_ok: jnp.ndarray | None
+
+
+def build_generic_bank(d_cp_map, n_cp_map, depth_last, img_last,
+                       dtype=jnp.float32) -> jnp.ndarray:
+    """Full-channel sampling bank (coarse levels): the prediction vertex and
+    normal maps enter verbatim. f32 by default — coarse banks are small."""
+    maps = []
+    if d_cp_map is not None:
+        maps += [d_cp_map, n_cp_map]
+    if depth_last is not None:
+        maps += [depth_last, img_last]
+    return pack_bilinear_bank(maps, dtype=dtype)
+
+
+def sample_generic(bank, uf, vf, use_icp: bool, use_rgb: bool) -> PredSample:
+    rgb_off = 6 if use_icp else 0
+    c = rgb_off + (2 if use_rgb else 0)
+    taps, fu, fv, inb = bilinear_taps(bank, uf, vf, c)
+    d_cp = d_ok = n_cp = n_ok = dl = dl_ok = il = il_ok = None
+    if use_icp:
+        d_cp, d_ok = _interp_valid(taps, fu, fv, inb, slice(0, 3))
+        n_cp, n_ok = _interp_valid(taps, fu, fv, inb, slice(3, 6))
+    if use_rgb:
+        d, dk = _interp_valid(taps, fu, fv, inb, slice(rgb_off, rgb_off + 1))
+        im, ik = _interp_valid(
+            taps, fu, fv, inb, slice(rgb_off + 1, rgb_off + 2)
+        )
+        dl, dl_ok, il, il_ok = d[..., 0], dk, im[..., 0], ik
+    return PredSample(d_cp, d_ok, n_cp, n_ok, dl, dl_ok, il, il_ok)
+
+
+def build_compact_bank(pred_depth, n_cp_map, img_last) -> jnp.ndarray:
+    """Ray-reconstructed level-0 sampling bank (bf16, <= 6 channels x 4 taps).
+
+    The level-0 prediction vertex map is EXACTLY ray * depth (splat_resolve
+    emits vertex = (lx*z, ly*z, z); create_vmap likewise), so only the depth
+    needs storing — positions are rebuilt per tap from the tap's pixel ray.
+    Depth is split hi/lo into two bf16 channels (16 effective mantissa bits,
+    ~1.5e-5 relative) so the ICP target keeps f32-grade precision while the
+    gather moves half the bytes. Channels: [z_hi, z_lo, nx, ny, nz?, img?].
+    """
+    zhi = pred_depth.astype(jnp.bfloat16)
+    zlo = (pred_depth - zhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    maps = [zhi.astype(jnp.float32), zlo.astype(jnp.float32)]
+    if n_cp_map is not None:
+        maps.append(n_cp_map)
+    if img_last is not None:
+        maps.append(img_last)
+    return pack_bilinear_bank(maps, dtype=jnp.bfloat16)
+
+
+def sample_compact(bank, uf, vf, cam: CameraModel, use_icp: bool,
+                   use_rgb: bool, max_depth_rgb: float) -> PredSample:
+    c = 2 + (3 if use_icp else 0) + (1 if use_rgb else 0)
+    h, w = bank.shape[:2]
+    taps, fu, fv, inb = bilinear_taps(bank, uf, vf, c)
+    u0 = jnp.clip(jnp.floor(uf), 0, w - 2)
+    v0 = jnp.clip(jnp.floor(vf), 0, h - 2)
+    fuc, fvc = fu[..., None], fv[..., None]
+    wgt = [(1 - fuc) * (1 - fvc), fuc * (1 - fvc), (1 - fuc) * fvc, fuc * fvc]
+    offs = [(0.0, 0.0), (0.0, 1.0), (1.0, 0.0), (1.0, 1.0)]
+
+    d_cp = jnp.zeros(uf.shape + (3,), jnp.float32)
+    d_ok = inb
+    dl = jnp.zeros(uf.shape, jnp.float32)
+    dl_ok = inb
+    for t, wg, (dy, dx) in zip(taps, wgt, offs):
+        z = t[..., 0] + t[..., 1]  # hi + lo
+        ok = t[..., 0] != 0
+        d_ok = d_ok & ok
+        lx = (u0 + dx - cam.cx) / cam.fx
+        ly = (v0 + dy - cam.cy) / cam.fy
+        d_cp = d_cp + wg * jnp.stack([lx * z, ly * z, z], axis=-1)
+        if use_rgb:
+            zr = jnp.where(z <= max_depth_rgb, z, 0.0)
+            dl_ok = dl_ok & (zr > 0)
+            dl = dl + wg[..., 0] * zr
+    d_cp = jnp.where(d_ok[..., None], d_cp, 0.0)
+    n_cp = n_ok = il = il_ok = None
+    if use_icp:
+        n_cp, n_ok = _interp_valid(taps, fu, fv, inb, slice(2, 5))
+    if use_rgb:
+        off = 2 + (3 if use_icp else 0)
+        im, ik = _interp_valid(taps, fu, fv, inb, slice(off, off + 1))
+        il, il_ok = im[..., 0], ik
+    if not use_icp:
+        d_cp = d_ok = None
+    return PredSample(
+        d_cp, d_ok, n_cp, n_ok,
+        jnp.where(dl_ok, dl, 0.0) if use_rgb else None,
+        dl_ok if use_rgb else None, il, il_ok,
+    )
+
+
+def icp_system(
+    ps: PredSample,
     vcp: jnp.ndarray,  # [H,W,3] current vertices in the PREV camera frame
     nmap_curr: jnp.ndarray,
     Ri: jnp.ndarray,  # rotation of inv(result_Rt) (curr -> prev camera)
     v_valid: jnp.ndarray,  # [H,W] raw current-vertex validity (loop-invariant)
-    sl_off: int,  # channel offset of (d_cp_map, n_cp_map) in the joint bank
     dist_thresh: float,
     angle_thresh: float,
 ):
@@ -222,8 +331,8 @@ def icp_system_from_taps(
     A = S[:6,:6], b = S[:6,6], sum r^2 = S[6,6].
     """
     z = vcp[..., 2]
-    d_cp, vprev_ok = _interp_valid(taps, fu, fv, inb, slice(sl_off, sl_off + 3))
-    n_cp, nprev_ok = _interp_valid(taps, fu, fv, inb, slice(sl_off + 3, sl_off + 6))
+    d_cp, vprev_ok = ps.d_cp, ps.d_ok
+    n_cp, nprev_ok = ps.n_cp, ps.n_ok
     nprev_norm = jnp.linalg.norm(n_cp, axis=-1, keepdims=True)
     n_cp = n_cp / jnp.maximum(nprev_norm, 1e-12)
     in_bounds = vprev_ok & nprev_ok & (z > 0) & v_valid
@@ -272,16 +381,16 @@ def rgb_static_valid(
     # window u in [i-2, i+2), v in [j-2, j+2) (reference bounds, :777-788);
     # at image borders the reference clamps the window, i.e. requires all
     # IN-BOUNDS taps valid — divide by the in-bounds tap count.
-    window = jnp.ones((4, 4), jnp.float32)
-
     def win_sum(x):
-        return jax.lax.conv_general_dilated(
-            x[None, None],
-            window[None, None],
-            window_strides=(1, 1),
-            padding=((2, 1), (2, 1)),
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        )[0, 0]
+        # 4x4 box sum, window u in [i-2, i+2), v in [j-2, j+2): separable
+        # shift-accumulate (a C=1 conv would go through a slow im2col on TPU)
+        acc = jnp.zeros_like(x)
+        for oy in (-2, -1, 0, 1):
+            acc = acc + imops._shift2d(x, oy, 0)
+        out = jnp.zeros_like(x)
+        for ox in (-2, -1, 0, 1):
+            out = out + imops._shift2d(acc, 0, ox)
+        return out
 
     neigh = win_sum(okf)
     tap_count = win_sum(jnp.ones_like(okf))
@@ -292,17 +401,13 @@ def rgb_static_valid(
     return valid & (level.depth_next > 0)
 
 
-def rgb_correspondences_from_taps(
-    taps,
-    fu,
-    fv,
-    inb,
+def rgb_correspondences(
+    ps: PredSample,
     u0: jnp.ndarray,  # the shared warp coordinates (== ICP projection)
     v0: jnp.ndarray,
     td1: jnp.ndarray,  # transformed depth (z of the warped vertex)
     img_next: jnp.ndarray,
     static_valid: jnp.ndarray,  # rgb_static_valid(...)
-    sl_off: int,  # channel offset of (depth_last, img_last) in the joint bank
     max_depth_delta: float,
     cam: CameraModel,
 ):
@@ -317,10 +422,8 @@ def rgb_correspondences_from_taps(
     grid at depth d1 equals the projection of the transformed current vertex,
     so it is shared with the ICP association (one gather serves both terms).
     """
-    d0c, d0_ok = _interp_valid(taps, fu, fv, inb, slice(sl_off, sl_off + 1))
-    img0c, img0_ok = _interp_valid(taps, fu, fv, inb, slice(sl_off + 1, sl_off + 2))
-    d0 = d0c[..., 0]
-    img0 = img0c[..., 0]
+    d0, d0_ok = ps.depth_last, ps.depth_ok
+    img0, img0_ok = ps.img_last, ps.img_ok
     valid = (
         static_valid & d0_ok & img0_ok & (jnp.abs(td1 - d0) <= max_depth_delta)
     )
@@ -600,12 +703,67 @@ def get_incremental_transformation(
     rgb_count = jnp.array(0.0, f32)
     lastA = jnp.zeros((6, 6), f32)
     lastb = jnp.zeros((6,), f32)
-    icp_err_img = jnp.zeros(levels[0].img_next.shape, f32)
-    rgb_err_img = jnp.zeros(levels[0].img_next.shape, f32)
 
-    Rp = R_prev_inv_T[:3, :3]
-    tp = R_prev_inv_T[:3, 3]
-    rgb_off = 6 if use_icp else 0
+    fine_ctx = {}  # level-0 inputs kept for the optional error-image pass
+
+    def eval_systems(result_Rt, sampler, px, cam_l, last_rgb_err, scale2,
+                     want_err: bool):
+        """One evaluation of the ICP+RGB normal systems at pose result_Rt.
+
+        px holds the per-pixel fields (possibly a strided view of the level);
+        scale2 rescales sums to full-grid units so the ICP/RGB fusion balance,
+        reported counts and covariance are invariant to fine_subsample.
+        """
+        vmap_curr, nmap_curr, img_next, didx, didy, static_valid, v_valid = px
+        Rt_inv = se3.inverse_T(result_Rt)
+        Ri, ti = Rt_inv[:3, :3], Rt_inv[:3, 3]
+        vcp = jnp.einsum("ij,hwj->hwi", Ri, vmap_curr) + ti
+        z = vcp[..., 2]
+        safe_z = jnp.where(z != 0, z, 1.0)
+        # sub-pixel projective warp: bilinear (validity-gated) instead of
+        # the reference's __float2int_rn nearest-pixel gathers — integer
+        # warps quantise sub-pixel motion away (see module docstring)
+        uf = vcp[..., 0] * cam_l.fx / safe_z + cam_l.cx
+        vf = vcp[..., 1] * cam_l.fy / safe_z + cam_l.cy
+        ps = sampler(uf, vf)
+
+        rgb_size = jnp.array(0.0, f32)
+        S_rgb = jnp.zeros((7, 7), f32)
+        rgb_img = None
+        diverging = jnp.array(False)
+        if use_rgb:
+            valid, cp, diff, sigma, cnt, err_img = rgb_correspondences(
+                ps, uf, vf, z, img_next, static_valid,
+                cfg.max_depth_delta_rgb, cam_l,
+            )
+            rgb_size = cnt.astype(f32) * scale2
+            sigma = sigma * scale2
+            if want_err:
+                rgb_img = err_img
+            tmp_err = jnp.sqrt(sigma) / jnp.maximum(rgb_size, 1.0)
+            sigma_val = jnp.where(tmp_err == 0, 1.0, rgb_size)
+            if cfg.rgb_only:
+                sigma_val = jnp.full_like(sigma_val, -1.0)
+                diverging = tmp_err > last_rgb_err
+            S_rgb = scale2 * rgb_system(
+                valid, cp, diff, sigma_val, didx, didy, cam_l, cfg.sobel_scale,
+            )
+        else:
+            tmp_err = jnp.array(0.0, f32)
+
+        S_icp = jnp.zeros((7, 7), f32)
+        icp_cnt = jnp.array(0.0, f32)
+        icp_img = None
+        if use_icp:
+            S_icp, icp_cnt_raw, err_img_icp = icp_system(
+                ps, vcp, nmap_curr, Ri, v_valid,
+                cfg.dist_thresh, cfg.angle_thresh,
+            )
+            S_icp = scale2 * S_icp
+            icp_cnt = icp_cnt_raw.astype(f32) * scale2
+            if want_err:
+                icp_img = err_img_icp
+        return S_icp, icp_cnt, icp_img, S_rgb, rgb_size, tmp_err, diverging, rgb_img
 
     for i in range(cfg.num_pyr - 1, -1, -1):
         iters = schedule[i]
@@ -617,86 +775,70 @@ def get_incremental_transformation(
         min_scale = (cfg.min_grad_magnitudes[i] ** 2) / (cfg.sobel_scale**2)
         # Loop-invariant sampling bank, hoisted so each GN iteration costs ONE
         # gather TOTAL: the ICP association and the RGB warp sample the same
-        # projected coordinate, so the prediction's vertex/normal maps
-        # (pre-transformed into the prev camera frame — also loop-invariant)
-        # and depth/intensity share a joint pre-shifted tap bank.
-        bank_maps = []
-        if use_icp:
-            vprev_ok = jnp.any(level.vmap_prev != 0, -1, keepdims=True)
-            nprev_ok = jnp.any(level.nmap_prev != 0, -1, keepdims=True)
-            d_cp_map = jnp.einsum("ij,hwj->hwi", Rp, level.vmap_prev) + tp
-            bank_maps += [
-                jnp.where(vprev_ok, d_cp_map, 0.0),
-                jnp.where(
-                    nprev_ok, jnp.einsum("ij,hwj->hwi", Rp, level.nmap_prev), 0.0
-                ),
-            ]
-        if use_rgb:
-            bank_maps += [level.depth_last, level.img_last]
-        joint_bank = pack_bilinear_bank(bank_maps)
-        bank_c = rgb_off + (2 if use_rgb else 0)
+        # projected coordinate, so the prediction's vertex/normal maps (kept
+        # in the prediction camera frame — loop-invariant) and depth/intensity
+        # share a joint pre-shifted tap bank. At the finest level the bank is
+        # the compact ray-reconstructed bf16 form (build_compact_bank): the
+        # full-channel f32 bank exceeds VMEM at 640x480 and its gather is the
+        # hottest op of the whole frame; coarse banks are small, so they stay
+        # full-channel f32 (also required: resize_vmap breaks ray alignment).
+        compact = i == 0 and use_icp
+        if compact:
+            pred_depth = level.vmap_prev[..., 2]
+            joint_bank = build_compact_bank(
+                pred_depth, level.nmap_prev,
+                level.img_last if use_rgb else None,
+            )
+            sampler = functools.partial(
+                sample_compact, joint_bank, cam=cam_l, use_icp=use_icp,
+                use_rgb=use_rgb, max_depth_rgb=cfg.max_depth_rgb,
+            )
+        else:
+            joint_bank = build_generic_bank(
+                level.vmap_prev if use_icp else None,
+                level.nmap_prev if use_icp else None,
+                level.depth_last if use_rgb else None,
+                level.img_last if use_rgb else None,
+            )
+            sampler = functools.partial(
+                sample_generic, joint_bank, use_icp=use_icp, use_rgb=use_rgb,
+            )
         v_valid = level.vmap_curr[..., 2] > 0
         static_valid = (
             rgb_static_valid(level, min_scale, mask_id, cfg.mask_rgb)
             if use_rgb
             else None
         )
+        px_full = (
+            level.vmap_curr, level.nmap_curr, level.img_next,
+            level.didx, level.didy, static_valid, v_valid,
+        )
+        # GN iterations at the finest level evaluate on a strided pixel grid
+        # (see OdometryConfig.fine_subsample); the warp/bank stay full-res
+        sub = cfg.fine_subsample if i == 0 else 1
+        if sub > 1:
+            px = tuple(
+                None if a is None else a[::sub, ::sub] for a in px_full
+            )
+            scale2 = jnp.float32(sub * sub)
+        else:
+            px = px_full
+            scale2 = jnp.float32(1.0)
+        if i == 0:
+            fine_ctx = dict(sampler=sampler, px_full=px_full, cam_l=cam_l)
 
         def level_cond(carry, iters=iters):
             return (carry[0] < iters) & ~carry[9]
 
-        def level_body(carry, level=level, cam_l=cam_l, joint_bank=joint_bank,
-                       bank_c=bank_c, v_valid=v_valid,
-                       static_valid=static_valid, i=i):
+        def level_body(carry, cam_l=cam_l, sampler=sampler, px=px,
+                       scale2=scale2):
             (j, result_Rt, icp_err, icp_count, rgb_err, rgb_count, lastA,
-             lastb, last_rgb_err, stopped, icp_img, rgb_img) = carry
+             lastb, last_rgb_err, stopped) = carry
 
-            Rt_inv = se3.inverse_T(result_Rt)
-            Ri, ti = Rt_inv[:3, :3], Rt_inv[:3, 3]
-            vcp = jnp.einsum("ij,hwj->hwi", Ri, level.vmap_curr) + ti
-            z = vcp[..., 2]
-            safe_z = jnp.where(z != 0, z, 1.0)
-            # sub-pixel projective warp: bilinear (validity-gated) instead of
-            # the reference's __float2int_rn nearest-pixel gathers — integer
-            # warps quantise sub-pixel motion away (see module docstring)
-            uf = vcp[..., 0] * cam_l.fx / safe_z + cam_l.cx
-            vf = vcp[..., 1] * cam_l.fy / safe_z + cam_l.cy
-            taps, fu, fv, inb = bilinear_taps(joint_bank, uf, vf, bank_c)
-
-            rgb_size = jnp.array(0.0, f32)
-            S_rgb = jnp.zeros((7, 7), f32)
-            rgb_img_new = rgb_img
-            diverging = jnp.array(False)
-            if use_rgb:
-                valid, cp, diff, sigma, cnt, err_img = rgb_correspondences_from_taps(
-                    taps, fu, fv, inb, uf, vf, z, level.img_next, static_valid,
-                    rgb_off, cfg.max_depth_delta_rgb, cam_l,
-                )
-                rgb_size = cnt.astype(f32)
-                if i == 0:
-                    rgb_img_new = err_img
-                tmp_err = jnp.sqrt(sigma) / jnp.maximum(rgb_size, 1.0)
-                sigma_val = jnp.where(tmp_err == 0, 1.0, rgb_size)
-                if cfg.rgb_only:
-                    sigma_val = jnp.full_like(sigma_val, -1.0)
-                    diverging = tmp_err > last_rgb_err
-                S_rgb = rgb_system(
-                    valid, cp, diff, sigma_val,
-                    level.didx, level.didy, cam_l, cfg.sobel_scale,
-                )
-            else:
-                tmp_err = jnp.array(0.0, f32)
-
-            S_icp = jnp.zeros((7, 7), f32)
-            icp_cnt = jnp.array(0, jnp.int32)
-            icp_img_new = icp_img
-            if use_icp:
-                S_icp, icp_cnt, err_img_icp = icp_system_from_taps(
-                    taps, fu, fv, inb, vcp, level.nmap_curr, Ri, v_valid, 0,
-                    cfg.dist_thresh, cfg.angle_thresh,
-                )
-                if i == 0:
-                    icp_img_new = err_img_icp
+            (S_icp, icp_cnt, _, S_rgb, rgb_size, tmp_err, diverging, _
+             ) = eval_systems(
+                result_Rt, sampler, px, cam_l, last_rgb_err, scale2, False
+            )
 
             A_icp, b_icp = S_icp[:6, :6], S_icp[:6, 6]
             A_rgbd, b_rgbd = S_rgb[:6, :6], S_rgb[:6, 6]
@@ -724,7 +866,7 @@ def get_incremental_transformation(
 
             # degenerate-system gate: with almost no correspondences the
             # normal equations are noise; hold the pose instead
-            enough = (icp_cnt + rgb_size.astype(jnp.int32)) >= 60
+            enough = (icp_cnt + rgb_size) >= 60
             upd = ~diverging & enough
             result_Rt = jnp.where(upd, Rt_new, result_Rt)
             # convergence early-exit (pure performance, no reference analogue:
@@ -739,30 +881,43 @@ def get_incremental_transformation(
                 & (jnp.linalg.norm(x[3:6]) < eps)
             )
             stopped = stopped | diverging | ~enough | converged
-            icp_err_new = jnp.sqrt(S_icp[6, 6]) / jnp.maximum(icp_cnt.astype(f32), 1.0)
+            icp_err_new = jnp.sqrt(S_icp[6, 6]) / jnp.maximum(icp_cnt, 1.0)
             return (
                 j + 1,
                 result_Rt,
                 jnp.where(upd & use_icp, icp_err_new, icp_err),
-                jnp.where(upd & use_icp, icp_cnt.astype(f32), icp_count),
+                jnp.where(upd & use_icp, icp_cnt, icp_count),
                 jnp.where(upd, tmp_err, rgb_err),
                 jnp.where(upd, rgb_size, rgb_count),
                 jnp.where(upd, A, lastA),
                 jnp.where(upd, b, lastb),
                 jnp.where(upd, tmp_err, last_rgb_err),
                 stopped,
-                jnp.where(upd, icp_img_new, icp_img) if i == 0 else icp_img,
-                jnp.where(upd, rgb_img_new, rgb_img) if i == 0 else rgb_img,
             )
 
         carry = (
             jnp.array(0, jnp.int32),
             result_Rt, icp_err, icp_count, rgb_err, rgb_count, lastA, lastb,
-            jnp.array(3.4e38, f32), jnp.array(False), icp_err_img, rgb_err_img,
+            jnp.array(3.4e38, f32), jnp.array(False),
         )
         carry = jax.lax.while_loop(level_cond, level_body, carry)
         (_, result_Rt, icp_err, icp_count, rgb_err, rgb_count, lastA, lastb,
-         _, _, icp_err_img, rgb_err_img) = carry
+         _, _) = carry
+
+    # ---- optional per-pixel error images (legacy CRF input) ---------------
+    # one full-resolution evaluation at the FINAL pose; the reference takes
+    # these from the last iteration's textures (equivalent modulo one step)
+    icp_err_img = jnp.zeros(levels[0].img_next.shape, f32)
+    rgb_err_img = jnp.zeros(levels[0].img_next.shape, f32)
+    if cfg.error_images and fine_ctx:
+        _, _, icp_img, _, _, _, _, rgb_img = eval_systems(
+            result_Rt, fine_ctx["sampler"], fine_ctx["px_full"],
+            fine_ctx["cam_l"], jnp.array(3.4e38, f32), jnp.float32(1.0), True,
+        )
+        if icp_img is not None:
+            icp_err_img = icp_img
+        if rgb_img is not None:
+            rgb_err_img = rgb_img
 
     T_new = T_prev @ se3.inverse_T(result_Rt)
 

@@ -49,17 +49,25 @@ def rgb_to_intensity(rgb: jnp.ndarray) -> jnp.ndarray:
 
 
 def _conv2d(img: jnp.ndarray, kernel: np.ndarray, stride: int = 1) -> jnp.ndarray:
-    """Zero-padded 2D convolution (cross-correlation) of [H,W] by [k,k]."""
+    """Zero-padded 2D convolution (cross-correlation) of [H,W] by [k,k].
+
+    Implemented as an unrolled shift-accumulate, NOT lax.conv: a C=1 conv
+    cannot use the MXU, and XLA lowers it through an im2col materialisation
+    (~1 ms per call at 640x480 on TPU v5e) whereas the shifted adds fuse into
+    a single VPU loop over the image.
+    """
     k = kernel.shape[0]
-    pad = k // 2
-    out = jax.lax.conv_general_dilated(
-        img[None, None, :, :],
-        jnp.asarray(kernel, img.dtype)[None, None, :, :],
-        window_strides=(stride, stride),
-        padding=((pad, pad), (pad, pad)),
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    return out[0, 0]
+    r = k // 2
+    out = jnp.zeros_like(img)
+    for oy in range(-r, k - r):
+        for ox in range(-r, k - r):
+            wgt = float(kernel[oy + r, ox + r])
+            if wgt == 0.0:
+                continue
+            out = out + wgt * _shift2d(img, oy, ox)
+    if stride != 1:
+        out = out[::stride, ::stride]
+    return out
 
 
 def pyr_down_gauss(img: jnp.ndarray, valid_gate: float = 0.0) -> jnp.ndarray:

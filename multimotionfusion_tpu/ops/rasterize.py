@@ -77,21 +77,46 @@ def _project_pixels(data_local: jnp.ndarray, cam: CameraModel, scale: int):
     return u, v, inb
 
 
+# Packed depth-test key: 11 bits of log-quantized depth + 20 bits of surfel id
+# in one int32. GL's f32 depth test (index_map.vert) needs TWO scatter passes
+# plus a winner gather on TPU (min depth, then min id among exact-depth ties);
+# one packed scatter-min is ~3x cheaper and still deterministic. Quantization:
+# 2048 log2 levels over [1/16 m, 16 m] = 256 levels/octave = 0.27% relative
+# depth resolution (2.7 mm at 1 m) — ties within one step resolve to the
+# lowest id. All downstream consumers (association gates at >= 1 cm, the
+# ray-disk splat resolve which re-derives exact depth from the winning
+# candidates) are insensitive at this scale.
+_ID_BITS = 20
+_ZQ_LEVELS = 2048
+_KEY_INVALID = jnp.int32(2**31 - 1)
+
+
+def _pack_depth_id(z, ids, valid):
+    zq = (jnp.log2(jnp.maximum(z, 1e-6)) + 4.0) * (_ZQ_LEVELS / 8.0)
+    zq = jnp.clip(zq.astype(jnp.int32), 0, _ZQ_LEVELS - 1)
+    return jnp.where(valid, (zq << _ID_BITS) | ids, _KEY_INVALID)
+
+
 def _zmin_scatter(u, v, z, valid, h: int, w: int):
-    """Front-most valid surfel per pixel. Returns (index [H,W] or -1, zmin)."""
+    """Front-most valid surfel per pixel. Returns (index [H,W] or -1, zmin).
+
+    zmin is the dequantized winning depth (0.27% relative) — no consumer in
+    this codebase uses it for sub-centimetre tests.
+    """
     n = z.shape[0]
+    assert n <= (1 << _ID_BITS), "surfel bucket exceeds packed id range"
     pix = jnp.where(valid, v * w + u, h * w)  # invalid -> scratch bin
-    zs = jnp.where(valid, z, _BIG)
-    zmin = jnp.full((h * w + 1,), _BIG, jnp.float32).at[pix].min(zs)
-    won = valid & (zs == zmin[pix])
     ids = jnp.arange(n, dtype=jnp.int32)
-    idx = (
-        jnp.full((h * w + 1,), jnp.int32(2**31 - 1))
-        .at[jnp.where(won, pix, h * w)]
-        .min(ids)
+    key = _pack_depth_id(z, ids, valid)
+    kmin = jnp.full((h * w,), _KEY_INVALID).at[pix].min(key, mode="drop")
+    won = kmin != _KEY_INVALID
+    idx = jnp.where(won, kmin & ((1 << _ID_BITS) - 1), INVALID)
+    zmin = jnp.where(
+        won,
+        jnp.exp2((kmin >> _ID_BITS).astype(jnp.float32) * (8.0 / _ZQ_LEVELS) - 4.0),
+        _BIG,
     )
-    idx = jnp.where(zmin[: h * w] < _BIG, idx[: h * w], INVALID)
-    return idx.reshape(h, w), zmin[: h * w].reshape(h, w)
+    return idx.reshape(h, w), zmin.reshape(h, w)
 
 
 def predict_indices(

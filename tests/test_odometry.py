@@ -32,7 +32,7 @@ def make_inputs(T_cam_b, cfg, T_prev=None):
     pred_int = imops.rgb_to_intensity(jnp.asarray(rgb_a))
 
     levels = build_level_data(
-        frame, pred_vmap, pred_nmap, pred_int, jnp.eye(4), CAM, cfg
+        frame, pred_vmap, pred_nmap, pred_int, CAM, cfg
     )
     last_l2 = imops.build_pyramid(pred_int, cfg.num_pyr)[cfg.num_pyr - 1]
     return levels, last_l2
@@ -110,7 +110,7 @@ def test_divergence_guard():
 
 
 def test_stats_populated():
-    cfg = OdometryConfig(mask_icp=False, mask_rgb=False)
+    cfg = OdometryConfig(mask_icp=False, mask_rgb=False, error_images=True)
     T_true = synthetic.pose((0, 0.01, 0), (0.005, 0, 0))
     levels, last_l2 = make_inputs(T_true, cfg)
     res = rgbd.get_incremental_transformation(jnp.eye(4), levels, last_l2, cfg, CAM)
