@@ -87,10 +87,18 @@ def main(argv=None) -> int:
 
     n = len(reader) if args.frames is None else min(args.frames, len(reader))
     t_start = _time.time()
-    for i, frame in enumerate(reader):
-        if args.frames is not None and i >= args.frames:
-            break
-        engine.process_frame(frame)
+    # pipeline: frame i+1 uploads (background thread) while frame i computes
+    it = iter(reader)
+    handle = None
+    for i in range(n):
+        if handle is None:
+            handle = engine.upload(next(it))
+        try:
+            nxt = engine.upload(next(it)) if i + 1 < n else None
+        except StopIteration:
+            nxt = None
+        engine.process_frame(handle)
+        handle = nxt
         if args.verbose or i % 30 == 0:
             stats = engine.current_stats(sync=True)
             el = _time.time() - t_start

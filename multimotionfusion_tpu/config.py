@@ -244,6 +244,9 @@ class EngineConfig:
     close_loops: bool = False
     reloc_mode: bool = False
     frame_to_frame_rgb: bool = False
+    # send depth over the host->device link as uint16 millimetres (the raw
+    # unit of every supported sensor/log format) instead of f32 metres
+    upload_depth_mm: bool = True
     model_spawn_offset: int = 22  # spawn cool-down in frames (reference default)
     # frames with zero segment pixels before an object is deactivated; the
     # reference deactivates after ONE unseen frame (MultiMotionFusion.cpp:

@@ -133,6 +133,10 @@ def _detect_keypoints(intensity, cfg: EngineConfig, sp_params):
 
 def _frame_inputs(rgb_u8, depth_raw, cam: CameraModel, cfg: EngineConfig):
     rgb = rgb_u8.astype(jnp.float32)
+    if jnp.issubdtype(depth_raw.dtype, jnp.integer):
+        # depth uploaded as raw sensor millimetres (uint16): 3x fewer bytes
+        # over the host->device link than f32 metres; convert on device
+        depth_raw = depth_raw.astype(jnp.float32) * 0.001
     depth_filt = imops.bilateral_depth_filter(depth_raw)
     vmap_raw = mapops.create_vmap(depth_raw, cam, cfg.surfels.depth_cutoff)
     vmap_f = mapops.create_vmap(depth_filt, cam, cfg.surfels.depth_cutoff)
@@ -367,6 +371,7 @@ class MultiMotionFusionTPU:
         self._hwm = 0
         self._hwm_tick = 0  # tick at which _hwm was read
         self._zero_mask = None  # cached device-side all-zeros mask
+        self._upload_pool = None  # single-thread uploader (see upload())
 
     @property
     def global_model(self) -> Model:
@@ -397,27 +402,55 @@ class MultiMotionFusionTPU:
         bucket_pred = _bucket_for(max(est, 1), cap)
         return bucket_fuse, bucket_pred
 
+    def upload(self, frame: FrameData, background: bool = True):
+        """Stage a frame's arrays on the device ahead of process_frame.
+
+        Uploads are the second-largest wall-clock cost after the device step
+        itself (the host->device link is a tunnel on remote backends and
+        device_put blocks), so callers should pipeline: upload frame t+1
+        while frame t computes. Depth is sent as uint16 millimetres (raw
+        sensor units, 3x smaller than f32 metres; conversion happens on
+        device). Returns a handle accepted by process_frame.
+        """
+
+        def _put():
+            depth = frame.depth
+            if depth.dtype != np.uint16 and self.cfg.upload_depth_mm:
+                depth = np.clip(
+                    np.nan_to_num(depth) * 1000.0, 0, 65535
+                ).astype(np.uint16)
+            arrs = [frame.rgb, depth]
+            if frame.mask is not None:
+                arrs.append(frame.mask.astype(np.int32))
+            return jax.device_put(tuple(arrs))
+
+        if background:
+            if self._upload_pool is None:
+                import concurrent.futures
+
+                self._upload_pool = concurrent.futures.ThreadPoolExecutor(1)
+            return (frame, self._upload_pool.submit(_put))
+        return (frame, _put())
+
     def process_frame(
         self,
-        frame: FrameData,
+        frame,
         gt_pose: Optional[np.ndarray] = None,
         weight_multiplier: float = 1.0,
     ) -> Dict[str, float]:
+        """Process one frame: a FrameData, or a handle from upload()."""
         cam = self.cam
-        # ONE batched host->device transfer per frame; per-array jnp.asarray
-        # calls each enqueue a separate tunnel round-trip on remote backends,
-        # and a fresh jnp.zeros mask would add a per-frame executable launch
         if self._zero_mask is None:
             self._zero_mask = jnp.zeros((cam.height, cam.width), jnp.int32)
-        mask_np = (
-            frame.mask.astype(np.int32) if frame.mask is not None else None
-        )
-        if mask_np is not None:
-            rgb_u8, depth_raw, mask = jax.device_put(
-                (frame.rgb, frame.depth, mask_np)
-            )
+        if isinstance(frame, tuple):
+            frame, staged = frame
+            arrs = staged.result() if hasattr(staged, "result") else staged
         else:
-            rgb_u8, depth_raw = jax.device_put((frame.rgb, frame.depth))
+            arrs = self.upload(frame, background=False)[1]
+        if len(arrs) == 3:
+            rgb_u8, depth_raw, mask = arrs
+        else:
+            rgb_u8, depth_raw = arrs
             mask = self._zero_mask
 
         if self.tick == 1:

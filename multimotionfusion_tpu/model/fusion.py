@@ -127,23 +127,45 @@ def fuse(
 
     # every participating pixel lies on the time-parity checkerboard
     # (x%2 == y%2 == time%2), so all scatter work below runs on the exact
-    # [H/2, W/2] subgrid: a dynamic-slice aligns the parity to (0,0), then a
-    # static stride-2 slice — 4x fewer scatter indices than full-res.
-    # (dynamic_slice, NOT jnp.roll: a roll by a traced amount lowers to a
-    # gather per image, ~0.8 ms each at 640x480; the slice is a plain copy.
-    # img[par::2, par::2] == roll-then-stride because h, w are even.)
+    # [H/2, W/2] subgrid: 4x fewer scatter indices than full-res. Extraction
+    # of img[par::2, par::2] is done for ALL images in ONE pass as (a) a
+    # dynamic row slice + sublane stride (cheap) and (b) a one-hot selection
+    # matmul for the lane (column) stride — a stride-2 lane slice is a
+    # cross-lane relayout that costs ~0.8 ms PER IMAGE on TPU, while the MXU
+    # selection of the whole 18-channel stack costs ~0.1 ms. All values ride
+    # f32 lanes (ids < 2^24 are exact).
     par = ti % 2
-
-    def cb(img):
-        hh, ww = img.shape[-2], img.shape[-1]
-        start = (jnp.int32(0),) * (img.ndim - 2) + (par, par)
-        sizes = img.shape[:-2] + (hh - 1, ww - 1)
-        return jax.lax.dynamic_slice(img, start, sizes)[..., ::2, ::2]
-
     hc, wc = h // 2, w // 2
     n_cb = hc * wc
-    merging = (cb(participate & (best_tgt >= 0))).reshape(n_cb)
-    target = cb(best_tgt).reshape(n_cb)
+
+    stack = jnp.concatenate(
+        [
+            (participate & (best_tgt >= 0)).astype(jnp.float32)[None],
+            best_tgt.astype(jnp.float32)[None],
+            participate.astype(jnp.float32)[None],
+            frame.data.reshape(sm.CHANNELS, h, w),
+        ],
+        axis=0,
+    )
+    rows = jax.lax.dynamic_slice(
+        stack, (jnp.int32(0), par, jnp.int32(0)), (stack.shape[0], h - 1, w)
+    )[:, ::2, :]
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (w, wc), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (w, wc), 1) * 2 + par
+    ).astype(jnp.float32)
+    # barrier: hides the one-hot structure of sel, otherwise XLA rewrites the
+    # selection dot into one gather PER CHANNEL (~0.8 ms each at 76800
+    # indices) — the exact lowering this MXU construction exists to avoid
+    sel = jax.lax.optimization_barrier(sel)
+    cb_all = jax.lax.dot_general(
+        rows.reshape(-1, w), sel, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(stack.shape[0], hc, wc)
+
+    merging = (cb_all[0] > 0.5).reshape(n_cb)
+    target_img = cb_all[1].astype(jnp.int32)
+    target = target_img.reshape(n_cb)
 
     # one winning pixel per target surfel (GL: last write wins; here: min id)
     pix_ids = jnp.arange(n_cb, dtype=jnp.int32)
@@ -158,10 +180,10 @@ def fuse(
     # the target id), transformed to the global frame per pixel — not from a
     # per-surfel gather over the whole map
     new_global = sm.transform_surfels(
-        cb(frame.data.reshape(sm.CHANNELS, h, w)).reshape(sm.CHANNELS, n_cb), pose
+        cb_all[3:].reshape(sm.CHANNELS, n_cb), pose
     )
     old_local = gather_attr_images(
-        index_map.data_local, cb(best_tgt)
+        index_map.data_local, target_img
     ).reshape(sm.CHANNELS, n_cb)
     old = sm.transform_surfels(old_local, pose)  # local -> global per pixel
 
@@ -194,7 +216,7 @@ def fuse(
     # [16, 2*n_cb] scatter instead of two full scatter passes over the map.
     cap = smap.capacity
     merge_dst = jnp.where(is_winner, target, cap)
-    new_mask = cb(participate).reshape(n_cb) & ~merging
+    new_mask = (cb_all[2] > 0.5).reshape(n_cb) & ~merging
     new_i = new_mask.astype(jnp.int32)
     append_dst = smap.count + jnp.cumsum(new_i) - 1
     append_dst = jnp.where(new_mask & (append_dst < cap), append_dst, cap)
