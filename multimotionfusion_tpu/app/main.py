@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-run", action="store_true", help="start immediately (always true, headless)")
     p.add_argument("-q", action="store_true", help="quit on finish (always true, headless)")
     p.add_argument("-v", dest="verbose", action="store_true")
+    # rosbag topics (reference MainController.cpp:98-100)
+    p.add_argument("-topic_colour", default="", help="ROS topic for colour images")
+    p.add_argument("-topic_depth", default="", help="ROS topic for depth images")
+    p.add_argument("-topic_camera_info", default="", help="ROS topic for camera info")
+    p.add_argument("-frame_gt_camera", default="", help="tf frame of the ground-truth camera pose")
     return p
 
 
@@ -81,7 +86,22 @@ def main(argv=None) -> int:
     from multimotionfusion_tpu.engine import MultiMotionFusionTPU
     from multimotionfusion_tpu.io.readers import open_log
 
-    reader = open_log(args.log, cfg.camera)
+    if args.log.endswith(".bag"):
+        from multimotionfusion_tpu.io.rosbag import RosBagReader
+
+        reader = RosBagReader(
+            args.log, topic_colour=args.topic_colour,
+            topic_depth=args.topic_depth,
+            topic_camera_info=args.topic_camera_info,
+            target_dimensions=(cfg.camera.width, cfg.camera.height),
+            frame_gt_camera=args.frame_gt_camera,
+        )
+    else:
+        reader = open_log(args.log, cfg.camera)
+    if reader.intrinsics() is not None:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, camera=reader.intrinsics())
     engine = MultiMotionFusionTPU(cfg)
     os.makedirs(args.exportdir, exist_ok=True)
 
@@ -97,7 +117,10 @@ def main(argv=None) -> int:
             nxt = engine.upload(next(it)) if i + 1 < n else None
         except StopIteration:
             nxt = None
-        engine.process_frame(handle)
+        gt = None
+        if args.odom_init == "tf" and hasattr(reader, "get_incremental_transformation"):
+            gt = reader.get_incremental_transformation(handle[0].timestamp)
+        engine.process_frame(handle, gt_pose=gt)
         handle = nxt
         if args.verbose or i % 30 == 0:
             stats = engine.current_stats(sync=True)

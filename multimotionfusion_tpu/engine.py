@@ -302,10 +302,13 @@ def _frame_step(
     im = rasterize.predict_indices(
         sub, pose, cam, time, scfg.time_delta, scfg.depth_cutoff
     )
-    fused = fusion.fuse(sub, fs, im, mask, 0, pose, cam, time, scfg)
+    # winner-attribute images are shared by fuse, clean AND the splat resolve
+    # below — one ~1.4 ms gather instead of three
+    attrs = rasterize.gather_attr_images(im.data_local, im.index)
+    fused = fusion.fuse(sub, fs, im, mask, 0, pose, cam, time, scfg, attrs=attrs)
     cleaned = fusion.clean(
         fused, im, depth_filt, mask, 0, pose, cam,
-        time, scfg.time_delta, scfg.conf_threshold, scfg,
+        time, scfg.time_delta, scfg.conf_threshold, scfg, attrs=attrs,
     )
     if cfg.reloc_mode:
         # fusion is skipped while lost (MultiMotionFusion.cpp:791)
@@ -321,7 +324,7 @@ def _frame_step(
     # (splat gates applied per candidate inside the resolve)
     pred = rasterize.splat_resolve(
         im, cam, scfg.conf_threshold, time, time, scfg.time_delta,
-        scfg.splat_footprint,
+        scfg.splat_footprint, attrs=attrs,
     )
     conf_img = sm.pixel_confidence(cam, 1.0)
     rad_img = sm.radius_from_depth(vmap_f[..., 2], nmap_f[..., 2], cam)

@@ -15,9 +15,8 @@ TPU-build counterpart of the reference GUI/Tools LogReader hierarchy
   trajectory, for tests/benchmarks (no counterpart in the reference, which
   relied on recorded bags — SURVEY.md §4).
 
-A ROS bag reader (GUI/Tools/RosBagReader.{hpp,cpp}) requires the `rosbags`
-package, absent from this environment; `open_log` raises a clear error for
-.bag inputs until it lands.
+ROS1 bag playback lives in ``multimotionfusion_tpu.io.rosbag`` (pure-Python
+bag/message parsing, no ROS install needed).
 """
 
 from __future__ import annotations
@@ -218,10 +217,10 @@ def open_log(uri: str, cam: Optional[CameraModel] = None) -> LogReader:
         c = cam or CameraModel()
         return KlgLogReader(uri, c.width, c.height)
     if uri.endswith(".bag"):
-        raise NotImplementedError(
-            "rosbag input needs the `rosbags` package (not in this environment); "
-            "convert to an image directory or .klg"
-        )
+        from multimotionfusion_tpu.io.rosbag import RosBagReader
+
+        dims = (cam.width, cam.height) if cam is not None else None
+        return RosBagReader(uri, target_dimensions=dims)
     if uri == "synthetic":
         return SyntheticLogReader(cam or CameraModel())
     if os.path.isdir(uri):

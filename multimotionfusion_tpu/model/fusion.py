@@ -61,6 +61,7 @@ def fuse(
     cam: CameraModel,
     time,
     cfg: SurfelConfig,
+    attrs: jnp.ndarray | None = None,  # gather_attr_images(index_map) if cached
 ) -> sm.SurfelMap:
     """One fusion step: associate -> merge -> append new unstable surfels."""
     h, w = cam.height, cam.width
@@ -101,7 +102,8 @@ def fuse(
     # --- window search over the index map (data.vert:127-163) -------------
     # all taps are stencil rolls of per-pixel winner-attribute images: the
     # whole search fuses into one image-shaped loop, no per-surfel gathers
-    attrs = gather_attr_images(index_map.data_local, index_map.index)
+    if attrs is None:
+        attrs = gather_attr_images(index_map.data_local, index_map.index)
 
     best_dist = jnp.full((h, w), jnp.float32(1000.0))
     best_tgt = jnp.full((h, w), INVALID)
@@ -239,6 +241,7 @@ def clean(
     time_delta,
     conf_threshold,
     cfg: SurfelConfig,
+    attrs: jnp.ndarray | None = None,  # gather_attr_images(index_map) if cached
 ) -> sm.SurfelMap:
     """Outlier cull + redundancy cull + compaction (copy_unstable.vert).
 
@@ -260,7 +263,8 @@ def clean(
     last_t = smap.data[sm.LAST_T]
 
     idx_img = index_map.index  # [H, W]
-    attrs = gather_attr_images(index_map.data_local, idx_img)  # [C, H, W]
+    if attrs is None:
+        attrs = gather_attr_images(index_map.data_local, idx_img)  # [C, H, W]
     qx, qy, qz = attrs[sm.PX], attrs[sm.PY], attrs[sm.PZ]
     q_init = attrs[sm.INIT_T]
     q_rad = attrs[sm.RADIUS]

@@ -816,7 +816,27 @@ def get_incremental_transformation(
         # GN iterations at the finest level evaluate on a strided pixel grid
         # (see OdometryConfig.fine_subsample); the warp/bank stay full-res
         sub = cfg.fine_subsample if i == 0 else 1
-        if sub > 1:
+        if sub == 2:
+            # one fused stride-2 extraction for ALL per-pixel fields (a bare
+            # [::2, ::2] slice per field lowers to a lane-stride gather each,
+            # see imops.decimate2)
+            vm, nm, im_n, dx_, dy_, sv_, vv_ = px_full
+            chans = [im_n[None], dx_[None], dy_[None],
+                     vv_.astype(jnp.float32)[None]]
+            if sv_ is not None:
+                chans.append(sv_.astype(jnp.float32)[None])
+            chans += [jnp.moveaxis(vm, -1, 0), jnp.moveaxis(nm, -1, 0)]
+            dec = imops.decimate2(jnp.concatenate(chans, axis=0))
+            k = 5 if sv_ is not None else 4
+            px = (
+                jnp.moveaxis(dec[k : k + 3], 0, -1),
+                jnp.moveaxis(dec[k + 3 : k + 6], 0, -1),
+                dec[0], dec[1], dec[2],
+                (dec[4] > 0.5) if sv_ is not None else None,
+                dec[3] > 0.5,
+            )
+            scale2 = jnp.float32(4.0)
+        elif sub > 1:
             px = tuple(
                 None if a is None else a[::sub, ::sub] for a in px_full
             )

@@ -204,6 +204,7 @@ def splat_resolve(
     time_delta,
     window: int = 5,
     pre_gated: bool = False,
+    attrs: jnp.ndarray | None = None,
 ) -> PredictedMaps:
     """combo_splat.frag ray-disk resolve over an existing index map.
 
@@ -227,8 +228,11 @@ def splat_resolve(
     l0, l1, l2 = lx / lnorm, ly / lnorm, 1.0 / lnorm  # unit pixel ray
 
     # per-pixel winner attributes, then every tap is a stencil roll of images
-    # (fused by XLA into one loop; no per-surfel gathers in the tap loop)
-    attrs = gather_attr_images(data_local, centre_idx)  # [CHANNELS, H, W]
+    # (fused by XLA into one loop; no per-surfel gathers in the tap loop).
+    # Callers that already hold the winner-attribute images pass them in —
+    # the gather costs ~1.4 ms at 640x480 and fuse/clean need the same one.
+    if attrs is None:
+        attrs = gather_attr_images(data_local, centre_idx)  # [CHANNELS, H, W]
 
     best_z = jnp.full((h, w), _BIG)
     best_idx = jnp.full((h, w), INVALID)

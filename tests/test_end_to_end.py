@@ -117,8 +117,8 @@ def test_open_log_dispatch(tmp_path):
     assert isinstance(r, SyntheticLogReader)
     import pytest
 
-    with pytest.raises(NotImplementedError):
-        open_log("x.bag")
+    with pytest.raises(FileNotFoundError):
+        open_log("x.bag")  # dispatches to the rosbag reader
 
 
 def test_runtime_controls():
