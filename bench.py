@@ -46,14 +46,20 @@ def main() -> int:
 
     best = 0.0
     pos = warmup
+    batch = 5
     for _ in range(trials):
         chunk = frames[pos : pos + per_trial]
         pos += per_trial
-        handle = engine.upload(chunk[0])
+        batches = [chunk[i : i + batch] for i in range(0, len(chunk), batch)]
+        handle = engine.upload_batch(batches[0])
         t0 = time.time()
-        for i, f in enumerate(chunk):
-            nxt = engine.upload(chunk[i + 1]) if i + 1 < len(chunk) else None
-            engine.process_frame(handle)
+        for i, b in enumerate(batches):
+            nxt = (
+                engine.upload_batch(batches[i + 1])
+                if i + 1 < len(batches)
+                else None
+            )
+            engine.process_frames(handle)
             handle = nxt
         engine.finish()
         best = max(best, per_trial / (time.time() - t0))

@@ -196,10 +196,7 @@ def _init_step(rgb_u8, depth_raw, pose0, time, sp_params, cam: CameraModel, cfg:
     ), stats
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cam", "cfg", "bucket_fuse", "bucket_pred")
-)
-def _frame_step(
+def _frame_core(
     state: GlobalState,
     rgb_u8,
     depth_raw,
@@ -347,6 +344,47 @@ def _frame_step(
     ), stats
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cam", "cfg", "bucket_fuse", "bucket_pred")
+)
+def _frame_step(state, rgb_u8, depth_raw, mask, time, weight_multiplier,
+                sp_params, cam: CameraModel, cfg: EngineConfig,
+                bucket_fuse: int, bucket_pred: int):
+    return _frame_core(state, rgb_u8, depth_raw, mask, time,
+                       weight_multiplier, sp_params, cam, cfg,
+                       bucket_fuse, bucket_pred)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cam", "cfg", "bucket_fuse", "bucket_pred")
+)
+def _frame_steps_batch(state, rgbs, depths, time0, weight_multiplier,
+                       sp_params, cam: CameraModel, cfg: EngineConfig,
+                       bucket_fuse: int, bucket_pred: int):
+    """k frames per dispatch via lax.scan over the batch.
+
+    On a remote (tunnelled) backend every executable launch costs a host
+    round-trip comparable to the device step itself; scanning k frames inside
+    ONE executable amortises it k-fold. Static mode only takes per-frame host
+    input (no masks, no gt), so the scan is semantically identical to k
+    single steps."""
+    zero_mask = jnp.zeros((cam.height, cam.width), jnp.int32)
+
+    def body(st, inp):
+        rgb_u8, depth_raw, dt = inp
+        st2, stats = _frame_core(
+            st, rgb_u8, depth_raw, zero_mask, time0 + dt, weight_multiplier,
+            sp_params, cam, cfg, bucket_fuse, bucket_pred,
+        )
+        return st2, (stats, st2.pose)
+
+    k = rgbs.shape[0]
+    state, (stats, poses) = jax.lax.scan(
+        body, state, (rgbs, depths, jnp.arange(k, dtype=jnp.int32))
+    )
+    return state, stats, poses
+
+
 class MultiMotionFusionTPU:
     """Engine facade (reference class MultiMotionFusion, Core/MultiMotionFusion.h:54-)."""
 
@@ -384,26 +422,96 @@ class MultiMotionFusionTPU:
             gm.smap = self.state.smap
             gm.pose = self.state.pose
             gm.hwm = int(self.state.smap.count)
-        gm.pose_log = [(ts, np.asarray(p)) for ts, p in self._pose_dev]
+        gm.pose_log = self._expand_pose_log()
         return gm
 
-    def _buckets(self):
-        """Pick power-of-two work buckets from a (possibly stale) high-water
-        mark; staleness is bounded by re-reading the device count whenever the
-        conservative growth estimate crosses the current bucket."""
+    def _expand_pose_log(self):
+        out = []
+        for ts, p in self._pose_dev:
+            if isinstance(ts, list):  # batched entry: [k] stamps, [k,4,4] poses
+                arr = np.asarray(p)
+                out.extend((t, arr[i]) for i, t in enumerate(ts))
+            else:
+                out.append((ts, np.asarray(p)))
+        return out
+
+    def _buckets(self, k_ahead: int = 1):
+        """Pick work buckets from a (possibly stale) high-water mark;
+        staleness is bounded by re-reading the device count whenever the
+        conservative growth estimate crosses the current bucket. k_ahead
+        covers batched steps that advance several ticks in one dispatch."""
         cap = self.cfg.surfels.max_surfels
         n_pix = self.cam.width * self.cam.height
         # conservative growth bound: fuse appends at most n_pix/4 per frame
-        est = self._hwm + (self.tick - self._hwm_tick) * (n_pix // 4)
+        est = self._hwm + (self.tick + k_ahead - 1 - self._hwm_tick) * (n_pix // 4)
         if self.state is not None and _bucket_for(est + 1, cap) != _bucket_for(
-            self._hwm + n_pix // 4 + 1, cap
+            self._hwm + k_ahead * (n_pix // 4) + 1, cap
         ):
             self._hwm = int(self.state.smap.count)  # device sync (rare)
             self._hwm_tick = self.tick
-            est = self._hwm + n_pix // 4
+            est = self._hwm + k_ahead * (n_pix // 4)
         bucket_fuse = _bucket_for(est + 1, cap)
         bucket_pred = _bucket_for(max(est, 1), cap)
         return bucket_fuse, bucket_pred
+
+    def upload_batch(self, frames, background: bool = True):
+        """Stage a batch of frames as stacked arrays (one transfer)."""
+        import numpy as _np
+
+        def _put():
+            rgbs = _np.stack([f.rgb for f in frames])
+            deps = []
+            for f in frames:
+                d = f.depth
+                if d.dtype != _np.uint16 and self.cfg.upload_depth_mm:
+                    d = _np.clip(_np.nan_to_num(d) * 1000.0, 0, 65535).astype(
+                        _np.uint16
+                    )
+                deps.append(d)
+            return jax.device_put((rgbs, _np.stack(deps)))
+
+        if background:
+            if self._upload_pool is None:
+                import concurrent.futures
+
+                self._upload_pool = concurrent.futures.ThreadPoolExecutor(1)
+            return (list(frames), self._upload_pool.submit(_put))
+        return (list(frames), _put())
+
+    def process_frames(self, frames, weight_multiplier: float = 1.0):
+        """Process several frames in ONE device dispatch (static mode).
+
+        Accepts a list of FrameData or a handle from upload_batch(). Falls
+        back to per-frame processing where per-frame host input is needed
+        (first frame, multi-model mode, '-init tf' ground truth)."""
+        if isinstance(frames, tuple):
+            frames, staged = frames
+        else:
+            staged = None
+        if (
+            self.cfg.enable_multi_model
+            or self.state is None
+            or len(frames) == 1
+            or self.cfg.odom_init == "tf"
+        ):
+            for f in frames:
+                self.process_frame(f, weight_multiplier=weight_multiplier)
+            return self.current_stats(sync=False)
+        if staged is None:
+            staged = self.upload_batch(frames, background=False)[1]
+        rgbs, depths = staged.result() if hasattr(staged, "result") else staged
+        bucket_fuse, bucket_pred = self._buckets(k_ahead=len(frames))
+        self.state, stats, poses = _frame_steps_batch(
+            self.state, rgbs, depths, self.tick, weight_multiplier,
+            self.sp_params, self.cam, self.cfg, bucket_fuse, bucket_pred,
+        )
+        # store the BATCHED device arrays whole: slicing stats[i]/poses[i]
+        # here would enqueue a ~20 ms tunnel dispatch per slice, defeating
+        # the batching; consumers expand at fetch time
+        self._stats_dev.append(stats)
+        self._pose_dev.append(([f.timestamp for f in frames], poses))
+        self.tick += len(frames)
+        return self.current_stats(sync=False)
 
     def upload(self, frame: FrameData, background: bool = True):
         """Stage a frame's arrays on the device ahead of process_frame.
@@ -530,6 +638,8 @@ class MultiMotionFusionTPU:
         """Latest per-frame stats; with sync=False returns the last fetched."""
         if sync and self._stats_dev:
             s = np.asarray(self._stats_dev[-1])
+            if s.ndim == 2:  # batched step: last frame of the batch
+                s = s[-1]
             if self.cfg.enable_multi_model and s.shape[0] > 6 and self.tick > 2:
                 self.stats = {
                     "icp_error": float(s[0]),
@@ -570,7 +680,7 @@ class MultiMotionFusionTPU:
 
         self.finish()
         paths = []
-        pose_log = [(ts, np.asarray(p)) for ts, p in self._pose_dev]
+        pose_log = self._expand_pose_log()
         gposes = {ts: p for ts, p in pose_log}
         models = [(0, pose_log)] + [
             (m.id, m.pose_log) for m in self.models if m.id != 0

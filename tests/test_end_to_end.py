@@ -139,3 +139,38 @@ def test_runtime_controls():
     assert engine.tick == 1 and engine.state is None
     engine.process_frame(next(it))
     assert engine.tick == 2
+
+
+def test_batched_matches_single_frame():
+    """process_frames (lax.scan batch) must track the same trajectory as
+    per-frame processing (same program, amortised dispatch)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        EngineConfig(
+            camera=CAM,
+            enable_multi_model=False,
+            surfels=SurfelConfig(max_surfels=16384, depth_cutoff=5.0),
+        ),
+        odom_init="",
+    )
+    frames = list(
+        SyntheticLogReader(CAM, num_frames=7, cam_step=(0.004, 0.0, 0.0))
+    )
+    e1 = MultiMotionFusionTPU(cfg)
+    for f in frames:
+        e1.process_frame(f)
+    e1.finish()
+    e2 = MultiMotionFusionTPU(cfg)
+    e2.process_frame(frames[0])
+    e2.process_frames(frames[1:4])
+    e2.process_frames(frames[4:7])
+    e2.finish()
+    p1 = np.asarray(e1.state.pose)
+    p2 = np.asarray(e2.state.pose)
+    assert np.allclose(p1, p2, atol=1e-5), (p1, p2)
+    assert e1.tick == e2.tick
+    # pose log expansion covers batched entries
+    log = e2._expand_pose_log()
+    assert len(log) == 7
+    assert np.allclose(log[-1][1], p2, atol=1e-6)
