@@ -385,11 +385,29 @@ def _frame_steps_batch(state, rgbs, depths, time0, weight_multiplier,
     return state, stats, poses
 
 
+def _normalize_cfg(cfg: EngineConfig) -> EngineConfig:
+    """Resolve cross-field config implications."""
+    import dataclasses
+
+    if (
+        cfg.enable_multi_model
+        and cfg.segmentation.mode == "crf"
+        and not cfg.odometry.error_images
+    ):
+        # legacy CoFusion CRF consumes per-model ICP error images
+        # (Segmentation.cpp:212-332) — turn on the odometry error pass
+        cfg = dataclasses.replace(
+            cfg, odometry=dataclasses.replace(cfg.odometry, error_images=True)
+        )
+    return cfg
+
+
 class MultiMotionFusionTPU:
     """Engine facade (reference class MultiMotionFusion, Core/MultiMotionFusion.h:54-)."""
 
     def __init__(self, cfg: EngineConfig):
-        self.cfg = cfg
+        self.cfg = _normalize_cfg(cfg)
+        cfg = self.cfg
         self.cam = cfg.camera
         self.tick = 1
         # SuperPoint weights (TorchScript) if configured; zero-size placeholder
@@ -750,9 +768,13 @@ class MultiMotionFusionTPU:
     def set_segm_mode(self, mode: str):
         import dataclasses
 
-        self.cfg = dataclasses.replace(
-            self.cfg,
-            segmentation=dataclasses.replace(self.cfg.segmentation, mode=mode),
+        self.cfg = _normalize_cfg(
+            dataclasses.replace(
+                self.cfg,
+                segmentation=dataclasses.replace(
+                    self.cfg.segmentation, mode=mode
+                ),
+            )
         )
 
     def set_inhibit_new_models(self, inhibit: bool):

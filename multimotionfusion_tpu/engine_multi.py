@@ -256,16 +256,16 @@ def multi_frame_step(
             slot_pose, levels, state.last_intensity_coarse, cfg.odometry, cam,
             slot_idx + 1, T_init=seed_pose, seeded=True,
         )
-        return odo.pose, odo.icp_count
+        return odo.pose, odo.icp_count, odo.icp_error_image
 
-    obj_poses_new, obj_icp_counts = jax.vmap(track_one)(
+    obj_poses_new, obj_icp_counts, obj_icp_imgs = jax.vmap(track_one)(
         jnp.arange(n_slots, dtype=jnp.int32), obj.pose, obj_seeds,
         obj.pred_vertex_conf, obj.pred_normal_rad, obj.pred_color,
     )
     # inactive slots keep their pose
     obj_poses_new = jnp.where(obj.active[:, None, None], obj_poses_new, obj.pose)
 
-    # ---- segmentation (flow CRF) -------------------------------------------
+    # ---- segmentation ------------------------------------------------------
     poses_prev = jnp.concatenate([state.pose[None], obj.pose], axis=0)
     poses_new = jnp.concatenate([new_pose0[None], obj_poses_new], axis=0)
     vel, pair_valid = _track_velocities(tracks, time, poses_prev, poses_new, cam)
@@ -273,11 +273,48 @@ def multi_frame_step(
     txy = tracks.xy[:, s1]
     model_active = jnp.concatenate([jnp.array([True]), obj.active])
     allow_new = cfg.enable_model_spawning and cfg.object_slots > 0
-    seg_res = seg.flow_crf_segmentation(
-        state.prev_intensity, intensity, depth_filt, state.pred_depth,
-        model_active, txy, vel, pair_valid, cam, cfg.segmentation,
-        allow_new=allow_new,
-    )
+    if cfg.segmentation.mode == "crf":
+        # legacy CoFusion mode (Segmentation::performSegmentationCRF):
+        # unaries from per-model ICP error textures + prediction confidence
+        from multimotionfusion_tpu.segmentation import legacy_crf
+
+        icp_imgs = jnp.concatenate(
+            [odo0.icp_error_image[None], obj_icp_imgs], axis=0
+        )
+        conf_imgs = jnp.concatenate(
+            [
+                state.filled.vertex_conf[None, ..., 3],
+                obj.pred_vertex_conf[..., 3],
+            ],
+            axis=0,
+        )
+        lres = legacy_crf.legacy_crf_segmentation(
+            rgb, depth_filt, icp_imgs, conf_imgs, model_active,
+            cfg.segmentation, allow_new=allow_new,
+        )
+        m_all = 1 + n_slots
+        counts = lres.pixel_counts
+        lbl = lres.mask
+        dmean = jax.vmap(
+            lambda k: jnp.sum(jnp.where(lbl == k, depth_filt, 0.0))
+            / jnp.maximum(jnp.sum((lbl == k) & (depth_filt > 0)), 1)
+        )(jnp.arange(m_all))
+        seg_res = seg.SegmentationResult(
+            mask=lbl,
+            new_label_mask=lres.new_label_mask,
+            has_new_label=lres.has_new_label,
+            pixel_counts=counts,
+            depth_mean=dmean,
+            flow=jnp.zeros(
+                (cam.height // 4, cam.width // 4, 2), jnp.float32
+            ),
+        )
+    else:
+        seg_res = seg.flow_crf_segmentation(
+            state.prev_intensity, intensity, depth_filt, state.pred_depth,
+            model_active, txy, vel, pair_valid, cam, cfg.segmentation,
+            allow_new=allow_new,
+        )
     # ---- redetection: try to re-attach a STORED inactive model to the new
     # segment before spawning a fresh one (Model::getBestMatch semantics:
     # descriptor match + RANSAC, gates error < 0.01 and > 5 inliers,

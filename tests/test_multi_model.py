@@ -104,3 +104,39 @@ def test_multi_model_spawn_lifecycle():
         names = [p.split("/")[-1] for p in paths]
         assert "poses-0.txt" in names
         assert any(n.startswith("poses-") and n != "poses-0.txt" for n in names)
+
+
+def test_legacy_crf_mode_runs_end_to_end():
+    """Engine-level smoke of the legacy CoFusion CRF segmentation mode
+    (segm_mode 'crf' -> performSegmentationCRF path): the multi-model step
+    must run with ICP-error unaries, produce a valid mask, and keep the
+    global model tracking."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        _cfg(),
+        segmentation=SegmentationConfig(mode="crf", new_label_min_frac=0.02),
+    )
+    assert cfg.segmentation.mode == "crf"
+    frames = []
+    step = np.array([0.02, 0.0, 0.0])
+    for i in range(4):
+        c = tuple(np.array([0.15, 0.0, 1.3]) + step * i)
+        d, rgb = synthetic.render(
+            np.eye(4, dtype=np.float32), CAM, sphere_center=c,
+            sphere_radius=0.45,
+        )
+        frames.append(
+            FrameData(rgb=rgb.astype(np.uint8), depth=d,
+                      timestamp=int(i / 30 * 1e9))
+        )
+    engine = MultiMotionFusionTPU(cfg)
+    assert engine.cfg.odometry.error_images  # implied by mode 'crf'
+    for f in frames:
+        engine.process_frame(f)
+    stats = engine.finish()
+    assert np.isfinite(stats["icp_error"])
+    # the device-resident mask must be a valid label image
+    mask = np.asarray(engine.mstate.prev_mask)
+    assert mask.shape == (CAM.height, CAM.width)
+    assert mask.min() >= 0 and mask.max() <= cfg.object_slots
