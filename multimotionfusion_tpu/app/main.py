@@ -47,6 +47,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-topic_depth", default="", help="ROS topic for depth images")
     p.add_argument("-topic_camera_info", default="", help="ROS topic for camera info")
     p.add_argument("-frame_gt_camera", default="", help="tf frame of the ground-truth camera pose")
+    p.add_argument("-rt", action="store_true",
+                   help="real-time playback: drop frames when processing falls behind the log clock (MainController.cpp:614-617)")
+    p.add_argument("-batch", type=int, default=1,
+                   help="frames per device dispatch (static mode; amortises per-dispatch overhead)")
+    p.add_argument("-ctrl", type=int, default=0,
+                   help="TCP port for the JSON runtime-control server (0 = off)")
+    p.add_argument("-snapshot", action="store_true",
+                   help="write colour/normal/depth/label renders of the final map")
+    p.add_argument("-orbit", action="store_true",
+                   help="write an MP4 orbit render of the final map")
     return p
 
 
@@ -105,22 +115,75 @@ def main(argv=None) -> int:
     engine = MultiMotionFusionTPU(cfg)
     os.makedirs(args.exportdir, exist_ok=True)
 
+    ctrl = None
+    if args.ctrl:
+        from multimotionfusion_tpu.app.control import ControlServer
+
+        ctrl = ControlServer(engine, port=args.ctrl)
+        print(f"control server on 127.0.0.1:{ctrl.port}")
+
     n = len(reader) if args.frames is None else min(args.frames, len(reader))
+    if args.batch > 1 and args.static and not args.rt and args.odom_init != "tf":
+        # offline batched path: k frames per device dispatch
+        t_start = _time.time()
+        frames_iter = iter(reader)
+        first = next(frames_iter)
+        engine.process_frame(first)
+        rest = []
+        for i, f in enumerate(frames_iter):
+            if i + 1 >= n:
+                break
+            rest.append(f)
+        chunks = [rest[i : i + args.batch] for i in range(0, len(rest), args.batch)]
+        handle = engine.upload_batch(chunks[0]) if chunks else None
+        for i, c in enumerate(chunks):
+            nxt = (
+                engine.upload_batch(chunks[i + 1]) if i + 1 < len(chunks) else None
+            )
+            engine.process_frames(handle)
+            handle = nxt
+            if args.verbose:
+                el = _time.time() - t_start
+                print(f"frame {engine.tick - 1}/{n} {(engine.tick - 1) / el:.1f} fps", flush=True)
+        return _finish(engine, args, t_start)
     t_start = _time.time()
+    t0_stamp = None
+    skipped = 0
     # pipeline: frame i+1 uploads (background thread) while frame i computes
     it = iter(reader)
     handle = None
+    processed = 0
     for i in range(n):
+        if ctrl is not None:
+            while ctrl.paused and not ctrl.stop_requested:
+                _time.sleep(0.05)
+            if ctrl.stop_requested:
+                break
         if handle is None:
-            handle = engine.upload(next(it))
+            try:
+                handle = engine.upload(next(it))
+            except StopIteration:
+                break
         try:
             nxt = engine.upload(next(it)) if i + 1 < n else None
         except StopIteration:
             nxt = None
+        frame = handle[0]
+        # real-time frame-skip policy (reference drops frames whenever the
+        # engine runs slower than the log clock, MainController.cpp:614-617)
+        if args.rt and frame.timestamp:
+            if t0_stamp is None:
+                t0_stamp = frame.timestamp
+            behind = (_time.time() - t_start) - (frame.timestamp - t0_stamp) * 1e-9
+            if behind > 1.0 / 30.0 and processed > 0:
+                handle = nxt
+                skipped += 1
+                continue
         gt = None
         if args.odom_init == "tf" and hasattr(reader, "get_incremental_transformation"):
-            gt = reader.get_incremental_transformation(handle[0].timestamp)
+            gt = reader.get_incremental_transformation(frame.timestamp)
         engine.process_frame(handle, gt_pose=gt)
+        processed += 1
         handle = nxt
         if args.verbose or i % 30 == 0:
             stats = engine.current_stats(sync=True)
@@ -131,7 +194,12 @@ def main(argv=None) -> int:
                 f"{(i + 1) / el:.1f} fps",
                 flush=True,
             )
+    if skipped:
+        print(f"dropped {skipped} frames to keep real-time")
+    return _finish(engine, args, t_start)
 
+
+def _finish(engine, args, t_start) -> int:
     engine.finish()
     wall = _time.time() - t_start
     print(f"processed {engine.tick - 1} frames in {wall:.1f}s "
@@ -142,6 +210,16 @@ def main(argv=None) -> int:
     if args.em:
         for p in engine.save_ply(args.exportdir):
             print("wrote", p)
+    if args.snapshot:
+        from multimotionfusion_tpu.app import viewer
+
+        for p in viewer.snapshot(engine, args.exportdir):
+            print("wrote", p)
+    if args.orbit:
+        from multimotionfusion_tpu.app import viewer
+
+        print("wrote", viewer.orbit_video(
+            engine, os.path.join(args.exportdir, "orbit.mp4")))
     return 0
 
 

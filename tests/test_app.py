@@ -1,0 +1,99 @@
+"""App-shell tests: CLI main, viewer renders, runtime control server."""
+
+import os
+
+import numpy as np
+
+from multimotionfusion_tpu.app import control, viewer
+from multimotionfusion_tpu.app.main import main as cli_main
+from multimotionfusion_tpu.config import CameraModel, EngineConfig, SurfelConfig
+from multimotionfusion_tpu.engine import MultiMotionFusionTPU
+from multimotionfusion_tpu.io.readers import SyntheticLogReader
+
+CAM = CameraModel(width=80, height=60, fx=66.0, fy=66.0, cx=40.0, cy=30.0)
+
+
+def _small_engine(n_frames=3):
+    cfg = EngineConfig(
+        camera=CAM, enable_multi_model=False, odom_init="",
+        surfels=SurfelConfig(max_surfels=16384, depth_cutoff=5.0),
+    )
+    engine = MultiMotionFusionTPU(cfg)
+    for f in SyntheticLogReader(CAM, num_frames=n_frames, cam_step=(0.003, 0, 0)):
+        engine.process_frame(f)
+    engine.finish()
+    return engine
+
+
+def test_cli_static_run(tmp_path):
+    rc = cli_main([
+        "-l", "synthetic", "-dim", "80x60", "-frames", "3", "-static",
+        "-init", "none", "-exportdir", str(tmp_path), "-ep", "-q",
+    ])
+    assert rc == 0
+    assert os.path.exists(tmp_path / "poses-0.txt")
+    assert np.loadtxt(tmp_path / "poses-0.txt").shape == (3, 8)
+
+
+def test_cli_batched_run(tmp_path):
+    rc = cli_main([
+        "-l", "synthetic", "-dim", "80x60", "-frames", "5", "-static",
+        "-init", "none", "-exportdir", str(tmp_path), "-ep", "-batch", "2",
+    ])
+    assert rc == 0
+    assert np.loadtxt(tmp_path / "poses-0.txt").shape == (5, 8)
+
+
+def test_viewer_snapshot_and_orbit(tmp_path):
+    engine = _small_engine()
+    paths = viewer.snapshot(engine, str(tmp_path))
+    assert any(p.endswith("view-color.png") for p in paths)
+    assert any(p.endswith("view-normal.png") for p in paths)
+    import cv2
+
+    img = cv2.imread(str(tmp_path / "view-color.png"))
+    assert img.shape == (CAM.height, CAM.width, 3)
+    assert img.max() > 0  # something rendered
+    out = viewer.orbit_video(
+        engine, str(tmp_path / "orbit.mp4"), n_frames=4, conf_threshold=0.0
+    )
+    assert os.path.getsize(out) > 1000
+
+
+def test_render_view_from_offset_pose():
+    engine = _small_engine()
+    T = np.eye(4, dtype=np.float32)
+    T[0, 3] = 0.05  # view from 5 cm to the side
+    view = viewer.render_view(
+        engine.state.smap, T, CAM, conf_threshold=0.0, time=engine.tick,
+    )
+    assert view["valid"].mean() > 0.3  # most of the map still visible
+    assert view["depth"][view["valid"]].min() > 0
+
+
+def test_control_server_roundtrip():
+    engine = _small_engine(2)
+    srv = control.ControlServer(engine, port=0)  # ephemeral port
+    try:
+        r = control.send_command({"cmd": "stats"}, port=srv.port)
+        assert r["ok"] and "surfels" in r["stats"]
+        r = control.send_command({"cmd": "status"}, port=srv.port)
+        assert r["ok"] and "tick=" in r["status"]
+        r = control.send_command(
+            {"cmd": "set_odom_init", "mode": ""}, port=srv.port
+        )
+        assert r["ok"] and engine.cfg.odom_init == ""
+        r = control.send_command({"cmd": "pause"}, port=srv.port)
+        assert r["ok"] and srv.paused
+        r = control.send_command({"cmd": "start"}, port=srv.port)
+        assert r["ok"] and not srv.paused
+        r = control.send_command(
+            {"cmd": "inhibit_new_models", "inhibit": True}, port=srv.port
+        )
+        assert r["ok"] and not engine.cfg.enable_model_spawning
+        r = control.send_command({"cmd": "reset"}, port=srv.port)
+        assert r["ok"] and engine.tick == 1
+        r = control.send_command({"cmd": "bogus"}, port=srv.port)
+        assert not r["ok"]
+    finally:
+        srv.close()
