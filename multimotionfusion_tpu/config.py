@@ -247,6 +247,9 @@ class EngineConfig:
     # send depth over the host->device link as uint16 millimetres (the raw
     # unit of every supported sensor/log format) instead of f32 metres
     upload_depth_mm: bool = True
+    # send colour as Y + half-res chroma (Y = the engine's exact intensity,
+    # so tracking is lossless; map colours get half-res chroma)
+    upload_yuv420: bool = True
     model_spawn_offset: int = 22  # spawn cool-down in frames (reference default)
     # frames with zero segment pixels before an object is deactivated; the
     # reference deactivates after ONE unseen frame (MultiMotionFusion.cpp:

@@ -131,8 +131,28 @@ def _detect_keypoints(intensity, cfg: EngineConfig, sp_params):
     )
 
 
-def _frame_inputs(rgb_u8, depth_raw, cam: CameraModel, cfg: EngineConfig):
-    rgb = rgb_u8.astype(jnp.float32)
+def _yuv_to_rgb(y_u8, uv_u8):
+    """Reconstruct RGB from the upload wire format (see upload()).
+
+    Luma uses the engine's own intensity weights (rgb_to_intensity), so the
+    reconstructed image's intensity equals the transmitted luma EXACTLY (G is
+    solved from L, R, B) — the odometry's photometric term sees no chroma
+    loss; only stored map colours carry the half-res chroma approximation.
+    """
+    L = y_u8.astype(jnp.float32)
+    uv = uv_u8.astype(jnp.float32)
+    up = jnp.repeat(jnp.repeat(uv, 2, axis=-2), 2, axis=-1)
+    R = jnp.clip(L + 2.0 * (up[0] - 128.0), 0.0, 255.0)
+    B = jnp.clip(L + 2.0 * (up[1] - 128.0), 0.0, 255.0)
+    G = jnp.clip((L - 0.114 * R - 0.587 * B) / 0.299, 0.0, 255.0)
+    return jnp.stack([R, G, B], axis=-1)
+
+
+def _frame_inputs(rgb_u8, depth_raw, cam: CameraModel, cfg: EngineConfig, uv=None):
+    if uv is not None:
+        rgb = _yuv_to_rgb(rgb_u8, uv)
+    else:
+        rgb = rgb_u8.astype(jnp.float32)
     if jnp.issubdtype(depth_raw.dtype, jnp.integer):
         # depth uploaded as raw sensor millimetres (uint16): 3x fewer bytes
         # over the host->device link than f32 metres; convert on device
@@ -160,9 +180,9 @@ def _predict(smap, pose, rgb, depth_filt, vmap_f, nmap_f, time, cam, cfg, bucket
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "cfg"))
-def _init_step(rgb_u8, depth_raw, pose0, time, sp_params, cam: CameraModel, cfg: EngineConfig):
+def _init_step(rgb_u8, depth_raw, pose0, time, sp_params, cam: CameraModel, cfg: EngineConfig, uv=None):
     """First frame: initialise the map + first prediction (processFrame tick==1)."""
-    rgb, depth_filt, vmap_raw, vmap_f, nmap_f = _frame_inputs(rgb_u8, depth_raw, cam, cfg)
+    rgb, depth_filt, vmap_raw, vmap_f, nmap_f = _frame_inputs(rgb_u8, depth_raw, cam, cfg, uv)
     fs = sm.compute_frame_surfels(
         rgb, vmap_raw, vmap_f, nmap_f, cam, time, cfg.surfels.depth_cutoff, 1.0
     )
@@ -208,10 +228,11 @@ def _frame_core(
     cfg: EngineConfig,
     bucket_fuse: int,
     bucket_pred: int,
+    uv=None,
 ):
     """Track -> fuse -> clean -> predict, one XLA program (tick > 1)."""
     scfg = cfg.surfels
-    rgb, depth_filt, vmap_raw, vmap_f, nmap_f = _frame_inputs(rgb_u8, depth_raw, cam, cfg)
+    rgb, depth_filt, vmap_raw, vmap_f, nmap_f = _frame_inputs(rgb_u8, depth_raw, cam, cfg, uv)
     frame_pyr = lv.build_frame_pyramids(depth_filt, rgb, mask, cfg.odometry)
 
     # ---- sparse keypoint pipeline (SuperPoint/patch -> tracks -> RANSAC) --
@@ -349,10 +370,10 @@ def _frame_core(
 )
 def _frame_step(state, rgb_u8, depth_raw, mask, time, weight_multiplier,
                 sp_params, cam: CameraModel, cfg: EngineConfig,
-                bucket_fuse: int, bucket_pred: int):
+                bucket_fuse: int, bucket_pred: int, uv=None):
     return _frame_core(state, rgb_u8, depth_raw, mask, time,
                        weight_multiplier, sp_params, cam, cfg,
-                       bucket_fuse, bucket_pred)
+                       bucket_fuse, bucket_pred, uv)
 
 
 @functools.partial(
@@ -360,7 +381,7 @@ def _frame_step(state, rgb_u8, depth_raw, mask, time, weight_multiplier,
 )
 def _frame_steps_batch(state, rgbs, depths, time0, weight_multiplier,
                        sp_params, cam: CameraModel, cfg: EngineConfig,
-                       bucket_fuse: int, bucket_pred: int):
+                       bucket_fuse: int, bucket_pred: int, uvs=None):
     """k frames per dispatch via lax.scan over the batch.
 
     On a remote (tunnelled) backend every executable launch costs a host
@@ -371,18 +392,45 @@ def _frame_steps_batch(state, rgbs, depths, time0, weight_multiplier,
     zero_mask = jnp.zeros((cam.height, cam.width), jnp.int32)
 
     def body(st, inp):
-        rgb_u8, depth_raw, dt = inp
+        rgb_u8, depth_raw, uv, dt = inp
         st2, stats = _frame_core(
             st, rgb_u8, depth_raw, zero_mask, time0 + dt, weight_multiplier,
-            sp_params, cam, cfg, bucket_fuse, bucket_pred,
+            sp_params, cam, cfg, bucket_fuse, bucket_pred, uv,
         )
         return st2, (stats, st2.pose)
 
     k = rgbs.shape[0]
-    state, (stats, poses) = jax.lax.scan(
-        body, state, (rgbs, depths, jnp.arange(k, dtype=jnp.int32))
-    )
+    xs = (rgbs, depths, uvs, jnp.arange(k, dtype=jnp.int32))
+    if uvs is None:
+        def body_nouv(st, inp):
+            rgb_u8, depth_raw, dt = inp
+            return body(st, (rgb_u8, depth_raw, None, dt))
+        state, (stats, poses) = jax.lax.scan(
+            body_nouv, state, (rgbs, depths, jnp.arange(k, dtype=jnp.int32))
+        )
+    else:
+        state, (stats, poses) = jax.lax.scan(body, state, xs)
     return state, stats, poses
+
+
+def _pack_yuv420(rgb: np.ndarray):
+    """uint8 RGB -> (Y [H,W] u8, UV [2,H/2,W/2] u8) wire format.
+
+    Y is the engine's intensity (rgb_to_intensity weights), so tracking sees
+    it losslessly; chroma (R-Y, B-Y at half scale) rides at quarter density.
+    Cuts the per-frame host->device colour payload roughly in half.
+    """
+    f = rgb.astype(np.float32)
+    L = f[..., 0] * 0.114 + f[..., 1] * 0.299 + f[..., 2] * 0.587
+    U = (f[..., 0] - L) * 0.5 + 128.0
+    V = (f[..., 2] - L) * 0.5 + 128.0
+    h, w = L.shape
+    uv = np.stack([U, V])
+    uv = uv.reshape(2, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
+    return (
+        np.clip(np.floor(L), 0, 255).astype(np.uint8),
+        np.clip(np.rint(uv), 0, 255).astype(np.uint8),
+    )
 
 
 def _normalize_cfg(cfg: EngineConfig) -> EngineConfig:
@@ -429,6 +477,7 @@ class MultiMotionFusionTPU:
         self._pose_dev: List[tuple] = []  # (timestamp, device pose)
         self._hwm = 0
         self._hwm_tick = 0  # tick at which _hwm was read
+        self._growth_rate = 4096  # measured appends/frame (see _buckets)
         self._zero_mask = None  # cached device-side all-zeros mask
         self._upload_pool = None  # single-thread uploader (see upload())
 
@@ -454,20 +503,32 @@ class MultiMotionFusionTPU:
         return out
 
     def _buckets(self, k_ahead: int = 1):
-        """Pick work buckets from a (possibly stale) high-water mark;
-        staleness is bounded by re-reading the device count whenever the
-        conservative growth estimate crosses the current bucket. k_ahead
-        covers batched steps that advance several ticks in one dispatch."""
+        """Pick work buckets from a (possibly stale) high-water mark.
+
+        Growth between device syncs is extrapolated from the MEASURED
+        per-frame append rate (x4 safety margin), not the theoretical
+        worst case of n_pix/4 appends/frame — the worst-case bound
+        inflates the estimate so fast that it crosses a bucket rung (and
+        forces a ~40 s recompile) every few frames. When the estimate does
+        cross the current bucket, the true count is re-read from the device
+        (one small sync) and the growth rate re-measured; buckets therefore
+        only grow when the map actually grows. If a burst out-grows the
+        margin within one sync interval, appends beyond the bucket are
+        dropped for those frames (the reference likewise drops surfels at
+        its hard capacity, Model.cpp:116-126)."""
         cap = self.cfg.surfels.max_surfels
-        n_pix = self.cam.width * self.cam.height
-        # conservative growth bound: fuse appends at most n_pix/4 per frame
-        est = self._hwm + (self.tick + k_ahead - 1 - self._hwm_tick) * (n_pix // 4)
-        if self.state is not None and _bucket_for(est + 1, cap) != _bucket_for(
-            self._hwm + k_ahead * (n_pix // 4) + 1, cap
-        ):
-            self._hwm = int(self.state.smap.count)  # device sync (rare)
+        margin = max(4 * self._growth_rate, 2048)
+        frames_ahead = self.tick + k_ahead - self._hwm_tick
+        est = self._hwm + frames_ahead * margin
+        cur = _bucket_for(self._hwm + margin + 1, cap)
+        if self.state is not None and _bucket_for(est + 1, cap) != cur:
+            new_hwm = int(self.state.smap.count)  # device sync (rare)
+            dt = max(self.tick - self._hwm_tick, 1)
+            self._growth_rate = max((new_hwm - self._hwm) // dt, 64)
+            self._hwm = new_hwm
             self._hwm_tick = self.tick
-            est = self._hwm + k_ahead * (n_pix // 4)
+            margin = max(4 * self._growth_rate, 2048)
+            est = self._hwm + (k_ahead + 1) * margin
         bucket_fuse = _bucket_for(est + 1, cap)
         bucket_pred = _bucket_for(max(est, 1), cap)
         return bucket_fuse, bucket_pred
@@ -477,7 +538,6 @@ class MultiMotionFusionTPU:
         import numpy as _np
 
         def _put():
-            rgbs = _np.stack([f.rgb for f in frames])
             deps = []
             for f in frames:
                 d = f.depth
@@ -486,6 +546,16 @@ class MultiMotionFusionTPU:
                         _np.uint16
                     )
                 deps.append(d)
+            if self.cfg.upload_yuv420 and frames[0].rgb.dtype == _np.uint8:
+                packed = [_pack_yuv420(f.rgb) for f in frames]
+                return jax.device_put(
+                    (
+                        _np.stack([p[0] for p in packed]),
+                        _np.stack(deps),
+                        _np.stack([p[1] for p in packed]),
+                    )
+                )
+            rgbs = _np.stack([f.rgb for f in frames])
             return jax.device_put((rgbs, _np.stack(deps)))
 
         if background:
@@ -517,11 +587,13 @@ class MultiMotionFusionTPU:
             return self.current_stats(sync=False)
         if staged is None:
             staged = self.upload_batch(frames, background=False)[1]
-        rgbs, depths = staged.result() if hasattr(staged, "result") else staged
+        arrs = staged.result() if hasattr(staged, "result") else staged
+        rgbs, depths = arrs[0], arrs[1]
+        uvs = arrs[2] if len(arrs) == 3 else None
         bucket_fuse, bucket_pred = self._buckets(k_ahead=len(frames))
         self.state, stats, poses = _frame_steps_batch(
             self.state, rgbs, depths, self.tick, weight_multiplier,
-            self.sp_params, self.cam, self.cfg, bucket_fuse, bucket_pred,
+            self.sp_params, self.cam, self.cfg, bucket_fuse, bucket_pred, uvs,
         )
         # store the BATCHED device arrays whole: slicing stats[i]/poses[i]
         # here would enqueue a ~20 ms tunnel dispatch per slice, defeating
@@ -548,7 +620,11 @@ class MultiMotionFusionTPU:
                 depth = np.clip(
                     np.nan_to_num(depth) * 1000.0, 0, 65535
                 ).astype(np.uint16)
-            arrs = [frame.rgb, depth]
+            if self.cfg.upload_yuv420 and frame.rgb.dtype == np.uint8:
+                y, uv = _pack_yuv420(frame.rgb)
+                arrs = [y, depth, uv]
+            else:
+                arrs = [frame.rgb, depth]
             if frame.mask is not None:
                 arrs.append(frame.mask.astype(np.int32))
             return jax.device_put(tuple(arrs))
@@ -576,7 +652,11 @@ class MultiMotionFusionTPU:
             arrs = staged.result() if hasattr(staged, "result") else staged
         else:
             arrs = self.upload(frame, background=False)[1]
-        if len(arrs) == 3:
+        uv = None
+        if arrs[0].ndim == 2:  # YUV wire format: (Y, depth, UV[, mask])
+            rgb_u8, depth_raw, uv = arrs[:3]
+            mask = arrs[3] if len(arrs) == 4 else self._zero_mask
+        elif len(arrs) == 3:
             rgb_u8, depth_raw, mask = arrs
         else:
             rgb_u8, depth_raw = arrs
@@ -587,7 +667,8 @@ class MultiMotionFusionTPU:
                 gt_pose if gt_pose is not None else np.eye(4), jnp.float32
             )
             self.state, stats = _init_step(
-                rgb_u8, depth_raw, pose0, self.tick, self.sp_params, cam, self.cfg
+                rgb_u8, depth_raw, pose0, self.tick, self.sp_params, cam,
+                self.cfg, uv,
             )
             if self.cfg.enable_multi_model:
                 from multimotionfusion_tpu import engine_multi as em
@@ -607,8 +688,10 @@ class MultiMotionFusionTPU:
                     tracks=self.state.tracks, rng=self.state.rng,
                     objects=objects,
                     prev_mask=jnp.zeros((cam.height, cam.width), jnp.int32),
-                    prev_intensity=imops.rgb_to_intensity(
+                    prev_intensity=(
                         rgb_u8.astype(jnp.float32)
+                        if uv is not None
+                        else imops.rgb_to_intensity(rgb_u8.astype(jnp.float32))
                     ),
                     pred_depth=pred_depth,
                     last_spawn=jnp.zeros((), jnp.int32),
@@ -620,7 +703,7 @@ class MultiMotionFusionTPU:
 
             bucket_fuse, _ = self._buckets()
             self.mstate, stats, _ = em.multi_frame_step(
-                self.mstate, rgb_u8, depth_raw, self.tick,
+                self.mstate, rgb_u8, depth_raw, uv, self.tick,
                 weight_multiplier, self.sp_params, cam, self.cfg, bucket_fuse,
             )
             # mirror the global-model fields for shared accessors/exports
@@ -645,7 +728,7 @@ class MultiMotionFusionTPU:
             self.state, stats = _frame_step(
                 self.state, rgb_u8, depth_raw, mask, self.tick,
                 weight_multiplier, self.sp_params, cam, self.cfg,
-                bucket_fuse, bucket_pred,
+                bucket_fuse, bucket_pred, uv,
             )
         self._stats_dev.append(stats)
         self._pose_dev.append((frame.timestamp, self.state.pose))
@@ -752,6 +835,7 @@ class MultiMotionFusionTPU:
         self._obj_pose_dev.clear()
         self._hwm = 0
         self._hwm_tick = 0
+        self._growth_rate = 4096
 
     def set_odom_init(self, mode: str):
         """Service 'set_odom_init' ('kp' | 'tf' | '')."""

@@ -167,6 +167,7 @@ def multi_frame_step(
     state: MultiState,
     rgb_u8,
     depth_raw,
+    uv,
     time,
     weight_multiplier,
     sp_params,
@@ -181,7 +182,9 @@ def multi_frame_step(
     scfg = cfg.surfels
     n_slots = state.objects.num_slots
     h, w = cam.height, cam.width
-    rgb, depth_filt, vmap_raw, vmap_f, nmap_f = _frame_inputs(rgb_u8, depth_raw, cam, cfg)
+    rgb, depth_filt, vmap_raw, vmap_f, nmap_f = _frame_inputs(
+        rgb_u8, depth_raw, cam, cfg, uv
+    )
     mask_prev = state.prev_mask
     frame_pyr = lv.build_frame_pyramids(depth_filt, rgb, mask_prev, cfg.odometry)
     intensity = frame_pyr.intensity[0]

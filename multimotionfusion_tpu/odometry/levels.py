@@ -73,11 +73,18 @@ def build_level_data(
     RGBDOdometry.cpp:120-140) is dropped — it only adds f32 cancellation error
     far from the world origin.
     """
+    # Coarse prediction maps are REBUILT from a depth pyramid instead of
+    # resizing the vertex/normal maps (the reference's resizeVMap averages
+    # vertices off the coarse pixel rays): ray-aligned vertices at every
+    # level let the solver's sampling bank store depth only and reconstruct
+    # positions per tap (rgbd.build_compact_bank), like the frame side.
+    pdepth_pyr = imops.build_pyramid(pred_vmap_cam[..., 2], cfg.num_pyr)
     vpyr_cam = [pred_vmap_cam]
     npyr_cam = [pred_nmap_cam]
-    for _ in range(cfg.num_pyr - 1):
-        vpyr_cam.append(mapops.resize_vmap(vpyr_cam[-1]))
-        npyr_cam.append(mapops.resize_nmap(npyr_cam[-1]))
+    for lvl in range(1, cfg.num_pyr):
+        v = mapops.create_vmap(pdepth_pyr[lvl], cam.level(lvl), 1e9)
+        vpyr_cam.append(v)
+        npyr_cam.append(mapops.create_nmap(v))
 
     depth_last0 = mapops.vertices_to_depth(pred_vmap_cam, cfg.max_depth_rgb)
     depth_last = imops.build_pyramid(depth_last0, cfg.num_pyr)

@@ -777,12 +777,12 @@ def get_incremental_transformation(
         # gather TOTAL: the ICP association and the RGB warp sample the same
         # projected coordinate, so the prediction's vertex/normal maps (kept
         # in the prediction camera frame — loop-invariant) and depth/intensity
-        # share a joint pre-shifted tap bank. At the finest level the bank is
-        # the compact ray-reconstructed bf16 form (build_compact_bank): the
+        # share a joint pre-shifted tap bank. With ICP on, every level uses
+        # the compact ray-reconstructed bf16 bank (build_compact_bank) — the
         # full-channel f32 bank exceeds VMEM at 640x480 and its gather is the
-        # hottest op of the whole frame; coarse banks are small, so they stay
-        # full-channel f32 (also required: resize_vmap breaks ray alignment).
-        compact = i == 0 and use_icp
+        # hottest op of the whole frame; build_level_data keeps all levels
+        # ray-aligned. The generic full-channel bank remains for rgb_only.
+        compact = use_icp  # all levels are ray-aligned (build_level_data)
         if compact:
             pred_depth = level.vmap_prev[..., 2]
             joint_bank = build_compact_bank(
