@@ -75,10 +75,10 @@ class OdometryConfig:
     mask_rgb: bool = True  # MASK_RGB_RESIDUAL semantics
     # GN early-exit: stop a level once the applied step is below this norm in
     # BOTH translation (m) and rotation (rad). Pure performance — the remaining
-    # iterations move the pose by less than the fp32 noise floor (~2e-6 on TPU
-    # MXU reductions, which is why this sits above 1e-6). The reference always
-    # burns its full iteration budget (no analogue).
-    convergence_eps: float = 5e-6
+    # iterations move the pose by ~20 um / 20 urad — far below the mm-scale
+    # accuracy floor of the sensor model. The reference always burns its full
+    # iteration budget (no analogue).
+    convergence_eps: float = 2e-5
     # Evaluate the level-0 GN systems on a stride-N pixel grid (1 = every
     # pixel, like the reference). At 640x480 the full-res grid gives ~3e5
     # residual rows for 6 unknowns; stride 2 keeps ~7.6e4 rows (still vastly
@@ -117,8 +117,9 @@ class SurfelConfig:
     assoc_window: int = 4
     assoc_depth_gate: float = 0.05  # |zdiff*lambda| gate, data.vert
     # splat footprint cap in pixels (GL point sprites are dynamically sized;
-    # we bound the footprint statically for fixed shapes)
-    splat_footprint: int = 8
+    # we bound the footprint statically for fixed shapes). 5 covers radii at
+    # the working depth range; each +2 adds ~1.5x resolve-stencil cost
+    splat_footprint: int = 5
     outlier_coeff: float = 4.0
     unstable_grace: int = 20  # frames an unstable surfel has to reach confThreshold
     clean_see_through_gate: float = 0.03  # m, copy_unstable.vert "violation" gate

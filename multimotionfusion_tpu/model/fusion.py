@@ -224,7 +224,10 @@ def fuse(
     append_dst = jnp.where(new_mask & (append_dst < cap), append_dst, cap)
     dst = jnp.concatenate([merge_dst, append_dst])
     vals = jnp.concatenate([merged, new_global], axis=1)
-    data = smap.data.at[:, dst].set(vals, mode="drop")
+    # unique_indices: one winning pixel per merge target, append slots are
+    # consecutive, and the two sets are disjoint — lets XLA skip the
+    # duplicate-safe scatter path
+    data = smap.data.at[:, dst].set(vals, mode="drop", unique_indices=True)
     n_new = jnp.minimum(jnp.sum(new_i), cap - smap.count)
     return sm.SurfelMap(data=data, count=smap.count + n_new)
 

@@ -189,7 +189,7 @@ def compact(
     dest = jnp.cumsum(keep_i) - 1
     dest = jnp.where(keep, dest, capacity)  # drops land in scratch column
     out = jnp.zeros((data.shape[0], capacity + 1), data.dtype)
-    out = out.at[:, dest].set(data, mode="drop")
+    out = out.at[:, dest].set(data, mode="drop", unique_indices=True)
     return out[:, :capacity], jnp.sum(keep_i)
 
 
@@ -206,7 +206,7 @@ def append(
     dest = smap.count + jnp.cumsum(new_i) - 1
     dest = jnp.where(new_mask & (dest < cap), dest, cap)
     data = jnp.pad(smap.data, ((0, 0), (0, 1)))
-    data = data.at[:, dest].set(new_data, mode="drop")[:, :cap]
+    data = data.at[:, dest].set(new_data, mode="drop", unique_indices=True)[:, :cap]
     n_new = jnp.minimum(jnp.sum(new_i), cap - smap.count)
     return SurfelMap(data=data, count=smap.count + n_new)
 

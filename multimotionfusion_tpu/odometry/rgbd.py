@@ -782,7 +782,13 @@ def get_incremental_transformation(
         # full-channel f32 bank exceeds VMEM at 640x480 and its gather is the
         # hottest op of the whole frame; build_level_data keeps all levels
         # ray-aligned. The generic full-channel bank remains for rgb_only.
-        compact = use_icp  # all levels are ray-aligned (build_level_data)
+        # Bank choice is EMPIRICAL (TPU v5e traces): at the 640x480 level the
+        # compact bf16 bank gathers 26x faster than the full-channel f32 bank
+        # (14.7 MB vs 39 MB working set), but at coarse levels the bf16
+        # gather is ~6x SLOWER than f32 from the same small bank — sub-word
+        # gathers only pay off once the bank outgrows on-chip memory. All
+        # levels are ray-aligned (build_level_data), so either form is valid.
+        compact = use_icp and i == 0
         if compact:
             pred_depth = level.vmap_prev[..., 2]
             joint_bank = build_compact_bank(
