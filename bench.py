@@ -31,7 +31,7 @@ def main() -> int:
         surfels=SurfelConfig(max_surfels=1 << 20),
     )
     warmup = 6
-    trials, per_trial = 4, 15
+    trials, per_trial = 4, 20
     n_frames = warmup + trials * per_trial
     reader = SyntheticLogReader(
         cam, num_frames=n_frames, cam_step=(0.004, 0.0, 0.0),
@@ -46,7 +46,7 @@ def main() -> int:
 
     best = 0.0
     pos = warmup
-    batch = 5
+    batch = 10
     for _ in range(trials):
         chunk = frames[pos : pos + per_trial]
         pos += per_trial

@@ -478,6 +478,7 @@ class MultiMotionFusionTPU:
         self._hwm = 0
         self._hwm_tick = 0  # tick at which _hwm was read
         self._growth_rate = 4096  # measured appends/frame (see _buckets)
+        self._bucket = 0  # sticky work bucket (see _buckets)
         self._zero_mask = None  # cached device-side all-zeros mask
         self._upload_pool = None  # single-thread uploader (see upload())
 
@@ -505,23 +506,21 @@ class MultiMotionFusionTPU:
     def _buckets(self, k_ahead: int = 1):
         """Pick work buckets from a (possibly stale) high-water mark.
 
-        Growth between device syncs is extrapolated from the MEASURED
-        per-frame append rate (x4 safety margin), not the theoretical
-        worst case of n_pix/4 appends/frame — the worst-case bound
-        inflates the estimate so fast that it crosses a bucket rung (and
-        forces a ~40 s recompile) every few frames. When the estimate does
-        cross the current bucket, the true count is re-read from the device
-        (one small sync) and the growth rate re-measured; buckets therefore
-        only grow when the map actually grows. If a burst out-grows the
-        margin within one sync interval, appends beyond the bucket are
-        dropped for those frames (the reference likewise drops surfels at
-        its hard capacity, Model.cpp:116-126)."""
+        The bucket is STICKY: it only ever grows (shrinking would flap
+        between rungs and each rung change costs a full recompile). Growth
+        between device syncs is extrapolated from the MEASURED per-frame
+        append rate (x4 safety margin); when the extrapolation would out-grow
+        the current bucket, the true count is first re-read from the device
+        (one small sync) — so buckets grow only when the map actually grows.
+        If a burst out-grows the margin within one sync interval, appends
+        beyond the bucket are dropped for those frames (the reference
+        likewise drops surfels at its hard capacity, Model.cpp:116-126)."""
         cap = self.cfg.surfels.max_surfels
         margin = max(4 * self._growth_rate, 2048)
-        frames_ahead = self.tick + k_ahead - self._hwm_tick
-        est = self._hwm + frames_ahead * margin
-        cur = _bucket_for(self._hwm + margin + 1, cap)
-        if self.state is not None and _bucket_for(est + 1, cap) != cur:
+        est = self._hwm + (self.tick + k_ahead - self._hwm_tick) * margin
+        if self._bucket == 0:
+            self._bucket = _bucket_for(est + 1, cap)
+        if est + 1 > self._bucket and self.state is not None:
             new_hwm = int(self.state.smap.count)  # device sync (rare)
             dt = max(self.tick - self._hwm_tick, 1)
             self._growth_rate = max((new_hwm - self._hwm) // dt, 64)
@@ -529,9 +528,9 @@ class MultiMotionFusionTPU:
             self._hwm_tick = self.tick
             margin = max(4 * self._growth_rate, 2048)
             est = self._hwm + (k_ahead + 1) * margin
-        bucket_fuse = _bucket_for(est + 1, cap)
-        bucket_pred = _bucket_for(max(est, 1), cap)
-        return bucket_fuse, bucket_pred
+        if est + 1 > self._bucket:
+            self._bucket = _bucket_for(est + 1, cap)
+        return self._bucket, self._bucket
 
     def upload_batch(self, frames, background: bool = True):
         """Stage a batch of frames as stacked arrays (one transfer)."""
@@ -836,6 +835,7 @@ class MultiMotionFusionTPU:
         self._hwm = 0
         self._hwm_tick = 0
         self._growth_rate = 4096
+        self._bucket = 0
 
     def set_odom_init(self, mode: str):
         """Service 'set_odom_init' ('kp' | 'tf' | '')."""
