@@ -257,12 +257,14 @@ def _frame_core(
         # no seed because the dense solver must claw it back
         good = (
             res.ok
-            & (res.num_inliers >= 10)
+            & (res.num_inliers >= 24)
+            & (res.error < 0.008)
             & jnp.all(jnp.isfinite(res.transform))
-            & (jnp.linalg.norm(res.transform[:3, 3]) < 0.05)  # inter-frame sanity
+            & (jnp.linalg.norm(res.transform[:3, 3]) < 0.03)  # inter-frame sanity
         )
         T_rel = jnp.where(good, res.transform, jnp.eye(4, dtype=jnp.float32))
         pose = pose @ T_rel
+        seed_ok = good
     if cfg.icp_refine or cfg.odom_init != "tf":
         # prediction maps were rendered at the PREVIOUS pose (state.pose),
         # which stays the solver's T_prev; a kp-initialised pose enters as
@@ -274,10 +276,11 @@ def _frame_core(
             imops.rgb_to_intensity(state.filled.color),
             cam, cfg.odometry, 0,
         )
-        seeded = cfg.odom_init == "kp"
+        seeded = cfg.odom_init == "kp" and kps is not None
         odo = rgbd.get_incremental_transformation(
             state.pose, levels, state.last_intensity_coarse, cfg.odometry,
             cam, 0, T_init=pose if seeded else None, seeded=seeded,
+            seed_valid=seed_ok if seeded else None,
         )
         pose = odo.pose
     else:
@@ -643,6 +646,10 @@ class MultiMotionFusionTPU:
         weight_multiplier: float = 1.0,
     ) -> Dict[str, float]:
         """Process one frame: a FrameData, or a handle from upload()."""
+        from multimotionfusion_tpu.utils.stopwatch import Stopwatch
+
+        sw = Stopwatch.get()
+        sw.tick("Run")  # the reference GUI's overall frame timer
         cam = self.cam
         if self._zero_mask is None:
             self._zero_mask = jnp.zeros((cam.height, cam.width), jnp.int32)
@@ -732,6 +739,8 @@ class MultiMotionFusionTPU:
         self._stats_dev.append(stats)
         self._pose_dev.append((frame.timestamp, self.state.pose))
         self.tick += 1
+        sw.tock("Run")
+        sw.send_all()
         return self.current_stats(sync=False)
 
     def current_stats(self, sync: bool = True) -> Dict[str, float]:

@@ -151,13 +151,14 @@ def _kp_seed(tracks, time, model_sel, pose, rng, cfg, is_global: bool):
     res = ransac_ops.ransac_fit(sub, p0, p1, valid, cfg.ransac)
     good = (
         res.ok
-        & (res.num_inliers >= 10)
+        & (res.num_inliers >= 24)
+        & (res.error < 0.008)
         & jnp.all(jnp.isfinite(res.transform))
-        & (jnp.linalg.norm(res.transform[:3, 3]) < 0.05)  # inter-frame sanity
+        & (jnp.linalg.norm(res.transform[:3, 3]) < 0.03)  # inter-frame sanity
     )
     T_rel = jnp.where(good, res.transform, jnp.eye(4, dtype=jnp.float32))
     seeded_pose = pose @ T_rel if is_global else T_rel @ pose
-    return seeded_pose, rng
+    return seeded_pose, good, rng
 
 
 @functools.partial(
@@ -200,11 +201,12 @@ def multi_frame_step(
     # ---- global model: kp init + masked dense refinement -------------------
     pose0 = state.pose
     if cfg.odom_init == "kp":
-        pose0_seed, rng = _kp_seed(
+        pose0_seed, seed_ok0, rng = _kp_seed(
             tracks, time, tracks.model_id == 0, pose0, rng, cfg, True
         )
     else:
         pose0_seed = pose0
+        seed_ok0 = None
     levels0 = lv.build_level_data(
         frame_pyr,
         state.filled.vertex_conf[..., :3],
@@ -216,6 +218,7 @@ def multi_frame_step(
     odo0 = rgbd.get_incremental_transformation(
         state.pose, levels0, state.last_intensity_coarse, cfg.odometry, cam, 0,
         T_init=pose0_seed if seeded else None, seeded=seeded,
+        seed_valid=seed_ok0 if seeded else None,
     )
     new_pose0 = odo0.pose
 
@@ -229,7 +232,8 @@ def multi_frame_step(
         res = ransac_ops.ransac_fit(key, p0, p1, valid, cfg.ransac)
         good = (
             res.ok
-            & (res.num_inliers >= 10)
+            & (res.num_inliers >= 12)
+            & (res.error < 0.008)
             & jnp.all(jnp.isfinite(res.transform))
             # an object cannot plausibly jump > 5 cm between frames; junk
             # consensus (aliased descriptors) costs more than no seed
@@ -242,14 +246,18 @@ def multi_frame_step(
         # solver is identical for all models), and consistency of
         # g = P_m(t) p_cam(t) for object-frame surfels requires
         # P_m(t1) = P_m(t0) @ T_rel, the same composition as the global model.
-        return slot_pose @ T_rel
+        return slot_pose @ T_rel, good
 
     rng, *keys = jax.random.split(rng, n_slots + 1)
-    obj_seeds = jax.vmap(seed_one)(
-        obj.pose, jnp.arange(n_slots, dtype=jnp.int32), jnp.stack(keys)
-    ) if cfg.odom_init == "kp" else obj.pose
+    if cfg.odom_init == "kp":
+        obj_seeds, obj_seed_ok = jax.vmap(seed_one)(
+            obj.pose, jnp.arange(n_slots, dtype=jnp.int32), jnp.stack(keys)
+        )
+    else:
+        obj_seeds = obj.pose
+        obj_seed_ok = jnp.zeros((n_slots,), bool)
 
-    def track_one(slot_idx, slot_pose, seed_pose, pvc, pnr, pcol):
+    def track_one(slot_idx, slot_pose, seed_pose, seed_ok, pvc, pnr, pcol):
         levels = lv.build_level_data(
             frame_pyr, pvc[..., :3], pnr[..., :3],
             imops.rgb_to_intensity(pcol), cam, cfg.odometry,
@@ -257,12 +265,12 @@ def multi_frame_step(
         )
         odo = rgbd.get_incremental_transformation(
             slot_pose, levels, state.last_intensity_coarse, cfg.odometry, cam,
-            slot_idx + 1, T_init=seed_pose, seeded=True,
+            slot_idx + 1, T_init=seed_pose, seeded=True, seed_valid=seed_ok,
         )
         return odo.pose, odo.icp_count, odo.icp_error_image
 
     obj_poses_new, obj_icp_counts, obj_icp_imgs = jax.vmap(track_one)(
-        jnp.arange(n_slots, dtype=jnp.int32), obj.pose, obj_seeds,
+        jnp.arange(n_slots, dtype=jnp.int32), obj.pose, obj_seeds, obj_seed_ok,
         obj.pred_vertex_conf, obj.pred_normal_rad, obj.pred_color,
     )
     # inactive slots keep their pose
@@ -473,16 +481,20 @@ def multi_frame_step(
     im0 = rasterize.predict_indices(
         sub, new_pose0, cam, time, scfg.time_delta, scfg.depth_cutoff
     )
-    fused0 = fusion.fuse(sub, fs_w, im0, mask, 0, new_pose0, cam, time, scfg)
+    # winner-attribute images shared by fuse, clean and the splat resolve
+    attrs0 = rasterize.gather_attr_images(im0.data_local, im0.index)
+    fused0 = fusion.fuse(
+        sub, fs_w, im0, mask, 0, new_pose0, cam, time, scfg, attrs=attrs0
+    )
     cleaned0 = fusion.clean(
         fused0, im0, depth_filt, mask, 0, new_pose0, cam,
-        time, scfg.time_delta, scfg.conf_threshold, scfg,
+        time, scfg.time_delta, scfg.conf_threshold, scfg, attrs=attrs0,
     )
     gdata = state.smap.data.at[:, :bucket_fuse].set(cleaned0.data)
     smap = sm.SurfelMap(data=gdata, count=cleaned0.count)
     pred0 = rasterize.splat_resolve(
         im0, cam, scfg.conf_threshold, time, time, scfg.time_delta,
-        scfg.splat_footprint,
+        scfg.splat_footprint, attrs=attrs0,
     )
     conf_img = sm.pixel_confidence(cam, 1.0)
     rad_img = sm.radius_from_depth(vmap_f[..., 2], nmap_f[..., 2], cam)
@@ -497,14 +509,17 @@ def multi_frame_step(
         im = rasterize.predict_indices(
             omap, pose, cam, time, scfg.time_delta, scfg.depth_cutoff
         )
-        fused = fusion.fuse(omap, fs_w, im, mask, mask_id, pose, cam, time, scfg)
+        attrs = rasterize.gather_attr_images(im.data_local, im.index)
+        fused = fusion.fuse(
+            omap, fs_w, im, mask, mask_id, pose, cam, time, scfg, attrs=attrs
+        )
         cleaned = fusion.clean(
             fused, im, depth_filt, mask, mask_id, pose, cam,
-            time, scfg.time_delta, scfg.conf_threshold, scfg,
+            time, scfg.time_delta, scfg.conf_threshold, scfg, attrs=attrs,
         )
         pred = rasterize.splat_resolve(
             im, cam, scfg.conf_threshold, time, time, scfg.time_delta,
-            scfg.splat_footprint,
+            scfg.splat_footprint, attrs=attrs,
         )
         # inactive slots: keep previous state untouched
         out_data = jnp.where(active, cleaned.data, data)

@@ -606,6 +606,7 @@ def get_incremental_transformation(
     mask_id: jnp.ndarray | int = 0,
     T_init: jnp.ndarray | None = None,
     seeded: bool = False,
+    seed_valid: jnp.ndarray | None = None,
 ) -> OdometryResult:
     """Full multi-level GN odometry solve as one XLA program.
 
@@ -630,7 +631,7 @@ def get_incremental_transformation(
     so3_err = jnp.array(0.0, f32)
     so3_count = jnp.array(0.0, f32)
     resultR = jnp.eye(3, dtype=f32)
-    if cfg.so3_prealign and cfg.so3_iterations > 0 and not seeded:
+    if cfg.so3_prealign and cfg.so3_iterations > 0:
         lvl = cfg.num_pyr - 1
         cam_l = cam.level(lvl)
         K = _K(cam_l)
@@ -687,11 +688,18 @@ def get_incremental_transformation(
         out = jax.lax.while_loop(so3_cond, so3_body, init)
         _, resultR, _, _, _, _, so3_err, so3_count = out
 
+    so3_Rt = jnp.eye(4, dtype=f32).at[:3, :3].set(resultR)
     if seeded and T_init is not None:
-        # estimate = T_prev @ inv(result_Rt) == T_init at iteration 0
-        result_Rt = se3.inverse_T(T_init.astype(f32)) @ T_prev
+        # estimate = T_prev @ inv(result_Rt) == T_init at iteration 0.
+        # seed_valid selects per frame between the external seed and the
+        # SO(3) pre-alignment (which now ALWAYS runs): with weak descriptors
+        # a rejected keypoint seed must not silently also discard SO(3) —
+        # that combination is what let bad frames slip through before.
+        seed_Rt = se3.inverse_T(T_init.astype(f32)) @ T_prev
+        sv = jnp.asarray(True) if seed_valid is None else seed_valid
+        result_Rt = jnp.where(sv, seed_Rt, so3_Rt)
     else:
-        result_Rt = jnp.eye(4, dtype=f32).at[:3, :3].set(resultR)
+        result_Rt = so3_Rt
 
     # ---- coarse-to-fine joint GN ---------------------------------------
     schedule = cfg.schedule()

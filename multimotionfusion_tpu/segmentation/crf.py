@@ -37,18 +37,18 @@ def _blur_batch(x: jnp.ndarray, sigma: float, radius: int) -> jnp.ndarray:
     taps = (taps / taps.sum()).astype(np.float32)
     lead = x.shape[:-2]
     h, w = x.shape[-2:]
-    xb = x.reshape(-1, 1, h, w)
-    ky = jnp.asarray(taps).reshape(1, 1, -1, 1)
-    kx = jnp.asarray(taps).reshape(1, 1, 1, -1)
-    xb = jax.lax.conv_general_dilated(
-        xb, ky, (1, 1), ((radius, radius), (0, 0)),
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    xb = jax.lax.conv_general_dilated(
-        xb, kx, (1, 1), ((0, 0), (radius, radius)),
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    return xb.reshape(*lead, h, w)
+    xb = x.reshape(-1, h, w)
+    # shift-accumulate, NOT lax.conv: a C=1 conv lowers through im2col on
+    # TPU (~4.6 ms for the flow-CRF blur); the shifted adds fuse on the VPU
+    pad = jnp.pad(xb, ((0, 0), (radius, radius), (0, 0)))
+    out = jnp.zeros_like(xb)
+    for i, t in enumerate(taps):
+        out = out + float(t) * jax.lax.dynamic_slice_in_dim(pad, i, h, 1)
+    pad = jnp.pad(out, ((0, 0), (0, 0), (radius, radius)))
+    out = jnp.zeros_like(xb)
+    for i, t in enumerate(taps):
+        out = out + float(t) * jax.lax.dynamic_slice_in_dim(pad, i, w, 2)
+    return out.reshape(*lead, h, w)
 
 
 def gaussian_message(q: jnp.ndarray, sigma: float) -> jnp.ndarray:
