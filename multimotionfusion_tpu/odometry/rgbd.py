@@ -861,6 +861,29 @@ def get_incremental_transformation(
         if i == 0:
             fine_ctx = dict(sampler=sampler, px_full=px_full, cam_l=cam_l)
 
+        if i == cfg.num_pyr - 1 and seeded and T_init is not None:
+            # seed arbitration (no reference analogue — it trusts SuperPoint
+            # seeds unconditionally, MultiMotionFusion.cpp:320-353): evaluate
+            # the dense residual at the seed pose AND the SO(3) pose on the
+            # coarse grid and keep the better. A wrong-but-consistent
+            # keypoint consensus (descriptor aliasing on repetitive texture)
+            # passes every sparse gate, but it cannot beat the dense
+            # evidence; a CORRECT seed wins the comparison, so strong
+            # detectors lose nothing.
+            def _arb_err(Rt):
+                S_i, cnt_i, _, S_r, cnt_r, terr, _, _ = eval_systems(
+                    Rt, sampler, px, cam_l, jnp.array(3.4e38, f32), scale2,
+                    False,
+                )
+                if use_icp:
+                    e = jnp.sqrt(S_i[6, 6]) / jnp.maximum(cnt_i, 1.0)
+                    return jnp.where(cnt_i >= 60, e, jnp.inf)
+                return jnp.where(cnt_r >= 60, terr, jnp.inf)
+
+            e_cur = _arb_err(result_Rt)
+            e_so3 = _arb_err(so3_Rt)
+            result_Rt = jnp.where(e_cur <= e_so3, result_Rt, so3_Rt)
+
         def level_cond(carry, iters=iters):
             return (carry[0] < iters) & ~carry[9]
 
