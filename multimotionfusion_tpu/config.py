@@ -168,6 +168,16 @@ class RansacConfig:
     inlier_fraction: float = 0.5
 
 
+# Redetection uses a LOOSER fit than frame-to-frame seeding (reference
+# MultiMotionFusion.cpp:513: iterations=10, inlier_threshold=0.03,
+# fraction=0.8): stored-view depth and the new view differ by quantisation
+# and viewpoint. Fraction stays 0.5 here — the 0.8 gate assumes SuperPoint
+# match purity; iterations are free on TPU (all candidates run in parallel).
+REDETECT_RANSAC = RansacConfig(
+    iterations=64, inlier_threshold=0.03, inlier_fraction=0.5
+)
+
+
 @dataclasses.dataclass(frozen=True)
 class SegmentationConfig:
     """Flow-CRF motion segmentation (reference Core/Segmentation/Segmentation.{h,cpp})."""

@@ -341,14 +341,28 @@ def multi_frame_step(
         )
         matched = match_idx >= 0
         pm = sp3d[jnp.where(matched, match_idx, 0)]
-        res = ransac_ops.ransac_fit(key, pm, kp_p3d, matched, cfg.ransac)
+        from multimotionfusion_tpu.config import REDETECT_RANSAC
+
+        res = ransac_ops.ransac_fit(key, pm, kp_p3d, matched, REDETECT_RANSAC)
+        # second-stage tightening: the 3 cm consensus radius (reference
+        # MultiMotionFusion.cpp:513) finds the support set; refitting on the
+        # points within 1 cm of that fit recovers the precise pose
+        d = ransac_ops.residual_norms(res.transform, pm, kp_p3d)
+        tight = matched & (d < 0.01)
+        T2 = ransac_ops.kabsch_fit(pm, kp_p3d, tight)
+        use2 = jnp.sum(tight.astype(jnp.int32)) >= 4
+        T = jnp.where(use2, T2, res.transform)
+        err = jnp.sum(
+            jnp.where(tight, ransac_ops.residual_norms(T, pm, kp_p3d), 0.0)
+        ) / jnp.maximum(jnp.sum(tight.astype(jnp.float32)), 1.0)
+        err = jnp.where(use2, err, res.error)
         ok = (
             res.ok
             & (res.num_inliers > 5)
-            & (res.error < 0.01)
-            & jnp.all(jnp.isfinite(res.transform))
+            & (err < 0.01)
+            & jnp.all(jnp.isfinite(T))
         )
-        return ok, res.error, res.transform
+        return ok, err, T
 
     rng, *rkeys = jax.random.split(rng, n_slots + 1)
     red_ok, red_err, red_T = jax.vmap(redetect_one)(
