@@ -57,6 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write colour/normal/depth/label renders of the final map")
     p.add_argument("-orbit", action="store_true",
                    help="write an MP4 orbit render of the final map")
+    p.add_argument("-ckpt", default="", help="resume a full-session checkpoint")
+    p.add_argument("-save_ckpt", default="", help="write a full-session checkpoint on finish")
     return p
 
 
@@ -114,6 +116,9 @@ def main(argv=None) -> int:
         cfg = _dc.replace(cfg, camera=reader.intrinsics())
     engine = MultiMotionFusionTPU(cfg)
     os.makedirs(args.exportdir, exist_ok=True)
+    if args.ckpt:
+        engine.load_checkpoint(args.ckpt)
+        print(f"resumed session at tick {engine.tick} from {args.ckpt}")
 
     ctrl = None
     if args.ctrl:
@@ -204,6 +209,8 @@ def _finish(engine, args, t_start) -> int:
     wall = _time.time() - t_start
     print(f"processed {engine.tick - 1} frames in {wall:.1f}s "
           f"({(engine.tick - 1) / wall:.2f} fps)")
+    if args.save_ckpt:
+        print("wrote", engine.save_checkpoint(args.save_ckpt))
     if args.ep:
         for p in engine.export_poses(args.exportdir):
             print("wrote", p)

@@ -416,6 +416,12 @@ def _frame_steps_batch(state, rgbs, depths, time0, weight_multiplier,
     return state, stats, poses
 
 
+def dataclasses_asdict_safe(obj):
+    import dataclasses
+
+    return dataclasses.asdict(obj)
+
+
 def _pack_yuv420(rgb: np.ndarray):
     """uint8 RGB -> (Y [H,W] u8, UV [2,H/2,W/2] u8) wire format.
 
@@ -777,6 +783,67 @@ class MultiMotionFusionTPU:
         return self.current_stats(sync=True)
 
     # -- export (MultiMotionFusion::exportPoses/savePly, :1001-1045) -------
+
+    # -- full-session checkpoint / resume ----------------------------------
+    # The reference has NO session resume (SURVEY.md §5.4: only the model DB
+    # persists object clouds); here the whole device-resident state pytree
+    # (surfel maps, poses, track table, fern DB, object slots, pose log)
+    # round-trips through one file, so long mapping sessions survive
+    # restarts and crashes.
+
+    CKPT_VERSION = 1
+
+    def save_checkpoint(self, path: str) -> str:
+        import pickle
+
+        self.finish()
+        to_host = lambda t: jax.tree.map(np.asarray, t)  # noqa: E731
+        blob = {
+            "version": self.CKPT_VERSION,
+            "camera": dataclasses_asdict_safe(self.cfg.camera),
+            "tick": self.tick,
+            "state": to_host(self.state) if self.state is not None else None,
+            "mstate": to_host(self.mstate) if self.mstate is not None else None,
+            "pose_log": self._expand_pose_log(),
+            "obj_pose_log": [
+                (ts, np.asarray(p), np.asarray(a))
+                for ts, p, a in self._obj_pose_dev
+            ],
+            "hwm": self._hwm,
+            "hwm_tick": self._hwm_tick,
+            "growth_rate": self._growth_rate,
+            "bucket": self._bucket,
+        }
+        with open(path, "wb") as f:
+            pickle.dump(blob, f)
+        return path
+
+    def load_checkpoint(self, path: str):
+        import pickle
+
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        if blob["version"] != self.CKPT_VERSION:
+            raise ValueError(f"checkpoint version {blob['version']} unsupported")
+        if blob["camera"] != dataclasses_asdict_safe(self.cfg.camera):
+            raise ValueError("checkpoint camera model differs from engine config")
+        to_dev = lambda t: jax.tree.map(jnp.asarray, t)  # noqa: E731
+        self.tick = blob["tick"]
+        self.state = to_dev(blob["state"]) if blob["state"] is not None else None
+        self.mstate = (
+            to_dev(blob["mstate"]) if blob["mstate"] is not None else None
+        )
+        self._pose_dev = [(ts, jnp.asarray(p)) for ts, p in blob["pose_log"]]
+        self._obj_pose_dev = [
+            (ts, jnp.asarray(p), jnp.asarray(a))
+            for ts, p, a in blob["obj_pose_log"]
+        ]
+        self._stats_dev.clear()
+        self._hwm = blob["hwm"]
+        self._hwm_tick = blob["hwm_tick"]
+        self._growth_rate = blob["growth_rate"]
+        self._bucket = blob["bucket"]
+        return self
 
     def export_poses(self, export_dir: str) -> List[str]:
         """Write per-model TUM trajectories poses-<id>.txt.

@@ -174,3 +174,47 @@ def test_batched_matches_single_frame():
     log = e2._expand_pose_log()
     assert len(log) == 7
     assert np.allclose(log[-1][1], p2, atol=1e-6)
+
+
+def test_checkpoint_resume(tmp_path):
+    """Full-session save/resume: an interrupted-and-resumed run must continue
+    the trajectory exactly like an uninterrupted one (the reference has no
+    session resume at all — SURVEY.md §5.4)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        EngineConfig(
+            camera=CAM,
+            enable_multi_model=False,
+            surfels=SurfelConfig(max_surfels=16384, depth_cutoff=5.0),
+        ),
+        odom_init="",
+    )
+    frames = list(
+        SyntheticLogReader(CAM, num_frames=7, cam_step=(0.004, 0.0, 0.0))
+    )
+    e1 = MultiMotionFusionTPU(cfg)
+    for f in frames:
+        e1.process_frame(f)
+    e1.finish()
+
+    e2 = MultiMotionFusionTPU(cfg)
+    for f in frames[:4]:
+        e2.process_frame(f)
+    ck = str(tmp_path / "sess.ckpt")
+    e2.save_checkpoint(ck)
+
+    e3 = MultiMotionFusionTPU(cfg)
+    e3.load_checkpoint(ck)
+    assert e3.tick == 5
+    for f in frames[4:]:
+        e3.process_frame(f)
+    e3.finish()
+
+    p_full = np.asarray(e1.state.pose)
+    p_resumed = np.asarray(e3.state.pose)
+    assert np.allclose(p_full, p_resumed, atol=1e-6), (p_full, p_resumed)
+    assert len(e3._expand_pose_log()) == 7
+    # poses exported from the resumed session cover the whole trajectory
+    paths = e3.export_poses(str(tmp_path))
+    assert np.loadtxt(paths[0]).shape == (7, 8)
