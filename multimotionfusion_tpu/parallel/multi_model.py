@@ -58,3 +58,22 @@ def shard_model_batch(tree, mesh: Mesh):
 def replicate(tree, mesh: Mesh):
     sh = meshlib.replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def shard_multi_state(state, mesh: Mesh):
+    """Shard a full engine MultiState for the production multi_frame_step.
+
+    The object-slot axis (leading axis of every ObjectSlots leaf) is the
+    parallel axis: slot k's tracking, fusion and prediction are independent
+    per frame, so they run on separate chips with no communication inside the
+    per-slot solves; the frame pyramids, global map and track table are
+    replicated (one broadcast per frame over ICI). XLA/GSPMD inserts the few
+    cross-slot collectives the lifecycle logic needs (argmin over slots for
+    spawn/redetect targets, per-slot pixel counts).
+
+    Requires state.objects.num_slots to be a multiple of mesh devices.
+    """
+    sharded_objects = shard_model_batch(state.objects, mesh)
+    rest = state._replace(objects=None)
+    rest = replicate(rest, mesh)
+    return rest._replace(objects=sharded_objects)

@@ -9,7 +9,7 @@ reference's viewer works unmodified against this engine.
 
 For device work, prefer wrapping whole jitted steps (a TICK inside device code
 would only measure dispatch); `jax.profiler.trace` is the in-kernel
-counterpart (see tools/profile_frame.py).
+counterpart for per-op device timelines.
 """
 
 from __future__ import annotations
