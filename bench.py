@@ -1,24 +1,38 @@
-"""End-to-end benchmark: static-mode SLAM FPS at 640x480 on one TPU chip.
+"""End-to-end benchmark: SLAM FPS at 640x480 on one TPU chip.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...extras}.
 Baseline: the reference's real-time budget of 30 FPS at 640x480 on an NVIDIA
-GPU (BASELINE.md; reference GUI/MainController.cpp:614-617 frame-skip policy).
+GPU (BASELINE.md; reference GUI/MainController.cpp:614-617 frame-skip policy),
+with >= 5 simultaneous object models as the north-star config.
 
-The timed loop pipelines frame t+1's host->device upload with frame t's
-device step (the production IO pattern). The remote-TPU tunnel suffers
-multi-second stalls unrelated to the workload, so the run is split into
-trials and the best trial is reported (the others are victims of tunnel
-weather, not of the framework).
+Two measurements:
+- e2e_fps_640x480_static  (primary): ElasticFusion-style dense tracking +
+  fusion of a synthetic log, host->device uploads pipelined with the device
+  step (the production IO pattern).
+- e2e_fps_640x480_5obj    (extra field): the FULL multi-model program —
+  per-slot masked odometry, flow-CRF segmentation, lifecycle, per-slot
+  fusion — with 5 active object models.
+
+The remote-TPU tunnel suffers multi-second stalls unrelated to the workload,
+so runs are split into trials; the BEST trial is the headline (the others are
+victims of tunnel weather) and the MEDIAN is reported alongside so steady
+state stays visible. The persistent compilation cache keeps every trial free
+of in-run compiles after the first-ever invocation on a machine.
 """
 
 from __future__ import annotations
 
 import json
+import statistics
 import sys
 import time
 
+from multimotionfusion_tpu.utils.cache import enable_persistent_cache
 
-def main() -> int:
+enable_persistent_cache()
+
+
+def bench_static(trials: int = 4, per_trial: int = 20):
     from multimotionfusion_tpu.config import CameraModel, EngineConfig, SurfelConfig
     from multimotionfusion_tpu.engine import MultiMotionFusionTPU
     from multimotionfusion_tpu.io.readers import SyntheticLogReader
@@ -30,8 +44,7 @@ def main() -> int:
         odom_init="",  # "-static" = ElasticFusion mode: dense tracking only
         surfels=SurfelConfig(max_surfels=1 << 20),
     )
-    warmup = 6
-    trials, per_trial = 4, 20
+    warmup = 16  # long enough for the surfel bucket to reach steady state
     n_frames = warmup + trials * per_trial
     reader = SyntheticLogReader(
         cam, num_frames=n_frames, cam_step=(0.004, 0.0, 0.0),
@@ -40,11 +53,13 @@ def main() -> int:
     frames = list(reader)  # pre-decode so IO is excluded, like the reference's Run timer
 
     engine = MultiMotionFusionTPU(cfg)
-    for f in frames[:warmup]:
+    for f in frames[:6]:
         engine.process_frame(f)
+    for i in range(6, warmup, 10):
+        engine.process_frames(frames[i : i + 10])
     engine.finish()
 
-    best = 0.0
+    fps = []
     pos = warmup
     batch = 10
     for _ in range(trials):
@@ -62,8 +77,77 @@ def main() -> int:
             engine.process_frames(handle)
             handle = nxt
         engine.finish()
-        best = max(best, per_trial / (time.time() - t0))
+        fps.append(per_trial / (time.time() - t0))
+    return max(fps), statistics.median(fps)
 
+
+def bench_multi_model(n_objects: int = 5, trials: int = 3, per_trial: int = 15):
+    """Full multi-model frame step with n_objects active slots at 640x480.
+
+    State construction (active slots holding real surfel maps of scene
+    regions) comes from parallel.dryrun; the timed loop then runs the REAL
+    jitted multi_frame_step end-to-end, stepping state forward over freshly
+    rendered frames with a slowly-moving camera.
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multimotionfusion_tpu import engine_multi as em
+    from multimotionfusion_tpu.config import CameraModel, EngineConfig, SurfelConfig
+    from multimotionfusion_tpu.io import synthetic
+    from multimotionfusion_tpu.parallel import dryrun
+
+    cam = CameraModel()
+    cfg = EngineConfig(
+        camera=cam,
+        enable_multi_model=True,
+        object_slots=n_objects,
+        object_capacity=1 << 16,
+        surfels=SurfelConfig(max_surfels=1 << 19),
+        upload_yuv420=False,
+        upload_depth_mm=False,
+    )
+    eng, state, _, _ = dryrun.build_state(cfg)
+    bucket = cfg.surfels.max_surfels
+
+    # pre-render the trial frames (IO excluded from timing)
+    n = 2 + trials * per_trial
+    frames = []
+    for i in range(n):
+        T = synthetic.pose((0.0, 0.0015 * i, 0.0), (0.003 * i, 0.0, 0.0))
+        depth, rgb = synthetic.render(T, cam)
+        frames.append((jnp.asarray(rgb), jnp.asarray(depth)))
+
+    t = 2
+    for rgb, depth in frames[:2]:  # warm the program
+        state, stats, _, _ = em.multi_frame_step(
+            state, rgb, depth, None, t, 1.0, eng.sp_params, cam, cfg, bucket
+        )
+        t += 1
+    jax.block_until_ready(state.pose)
+
+    fps = []
+    pos = 2
+    for _ in range(trials):
+        t0 = time.time()
+        for rgb, depth in frames[pos : pos + per_trial]:
+            state, stats, _, _ = em.multi_frame_step(
+                state, rgb, depth, None, t, 1.0, eng.sp_params, cam, cfg, bucket
+            )
+            t += 1
+        jax.block_until_ready(state.pose)
+        fps.append(per_trial / (time.time() - t0))
+        pos += per_trial
+    n_active = int(np.sum(np.asarray(state.objects.active)))
+    return max(fps), statistics.median(fps), n_active
+
+
+def main() -> int:
+    best, med = bench_static()
+    mm_best, mm_med, mm_active = bench_multi_model()
     print(
         json.dumps(
             {
@@ -71,6 +155,11 @@ def main() -> int:
                 "value": round(best, 3),
                 "unit": "fps",
                 "vs_baseline": round(best / 30.0, 4),
+                "median": round(med, 3),
+                "multi_model_5obj_fps": round(mm_best, 3),
+                "multi_model_5obj_median": round(mm_med, 3),
+                "multi_model_active_objects": mm_active,
+                "multi_model_vs_baseline": round(mm_best / 30.0, 4),
             }
         )
     )

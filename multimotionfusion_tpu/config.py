@@ -112,6 +112,10 @@ class SurfelConfig:
     max_surfels: int = 1 << 20
     depth_cutoff: float = 3.0
     conf_threshold: float = 10.0
+    # object models render/clean at a much lower confidence gate than the
+    # global scene — they are young and small ('-confO' default 0.01 vs
+    # '-confG' 10.0, MainController.cpp:77-78)
+    object_conf_threshold: float = 0.01
     time_delta: int = 200
     # data association window (data.vert windowMultiplier=2 -> 4x4 neighbourhood)
     assoc_window: int = 4
@@ -203,6 +207,9 @@ class SegmentationConfig:
     # legacy CRF knobs
     min_rel_size_new: float = 0.07
     max_rel_size_new: float = 0.4
+    # precomputed (external mask) mode: minimum area in pixels for a NEW
+    # external id to spawn a model (Segmentation.cpp:115-139)
+    min_mask_size_px: int = 100
 
 
 @dataclasses.dataclass(frozen=True)
@@ -212,13 +219,24 @@ class FernConfig:
     num_ferns: int = 500
     factor: int = 8  # downsample divisor
     max_depth: float = 7.0
+    # keyframe insertion dissimilarity gate ('-ft', MainController default)
+    encoding_threshold: float = 0.3095
+    # relocalisation photometric verification gate ('-pt', Ferns.cpp:238)
+    photo_thresh: float = 115.0
 
 
 @dataclasses.dataclass(frozen=True)
 class DeformationConfig:
-    """Embedded deformation graph (reference Core/Utils/DeformationGraph.{h,cpp})."""
+    """Embedded deformation graph (reference Core/Utils/DeformationGraph.{h,cpp}).
 
-    max_nodes: int = 1024
+    max_nodes: the reference allows up to 1024 (Model.cpp:123-124) with a
+    sparse CHOLMOD solve; the TPU build solves the DENSE [12N x 12N] normal
+    system on the MXU, which is exact and fast at 256 nodes (3072^2 Cholesky)
+    but scales cubically — 256 nodes at ~0.1-1 m spacing covers the map
+    scales this system targets (a room-scale scan).
+    """
+
+    max_nodes: int = 256
     k_neighbours: int = 4
     w_rot: float = 1.0
     w_reg: float = 10.0
@@ -253,14 +271,24 @@ class EngineConfig:
     enable_redetection: bool = False
     enable_model_spawning: bool = True
     close_loops: bool = False
+    # post-deformation mean constraint error (m) below which a loop closure
+    # is applied to the map (Deformation.cpp:135 accept gates; see
+    # model/loop_closure.py for the unit translation)
+    loop_accept_cons_err: float = 0.02
     reloc_mode: bool = False
     frame_to_frame_rgb: bool = False
-    # send depth over the host->device link as uint16 millimetres (the raw
-    # unit of every supported sensor/log format) instead of f32 metres
+    # send depth over the host->device link as uint16 millimetres WHEN the
+    # reader already provides u16 (the raw unit of every supported sensor /
+    # log format); f32 depth is sent as-is — converting it on the host costs
+    # ~2 ms/frame of CPU for ~1 ms of transfer saved (measured: the tunnel
+    # moves ~1 GB/s, so host-side repacking is the bottleneck, not bytes)
     upload_depth_mm: bool = True
     # send colour as Y + half-res chroma (Y = the engine's exact intensity,
-    # so tracking is lossless; map colours get half-res chroma)
-    upload_yuv420: bool = True
+    # so tracking is lossless; map colours get half-res chroma). OFF by
+    # default: the ~10 ms/frame of host numpy packing costs far more than
+    # the ~0.5 ms of transfer it saves (same measurement as above); the
+    # format remains for genuinely thin links
+    upload_yuv420: bool = False
     model_spawn_offset: int = 22  # spawn cool-down in frames (reference default)
     # frames with zero segment pixels before an object is deactivated; the
     # reference deactivates after ONE unseen frame (MultiMotionFusion.cpp:

@@ -31,7 +31,7 @@ import numpy as np
 from multimotionfusion_tpu.config import CameraModel, EngineConfig, OdometryConfig
 from multimotionfusion_tpu.io.frame import FrameData
 from multimotionfusion_tpu.model import ferns as ferns_mod
-from multimotionfusion_tpu.model import fusion, surfel_map as sm
+from multimotionfusion_tpu.model import fusion, loop_closure, surfel_map as sm
 from multimotionfusion_tpu.model.fillin import FilledMaps, fill_in
 from multimotionfusion_tpu.model.model import Model, _bucket_for
 from multimotionfusion_tpu.odometry import levels as lv
@@ -60,6 +60,7 @@ class GlobalState(NamedTuple):
     ferns: ferns_mod.FernDB  # loop-closure keyframe database
     bad_track_count: jnp.ndarray  # [] int32 consecutive bad-covariance frames
     lost: jnp.ndarray  # [] bool — relocalisation mode engaged
+    pose_matches: loop_closure.MatchLog  # loop-closure PoseMatch records
 
 
 def _fern_cam(cam: CameraModel, factor: int) -> CameraModel:
@@ -93,7 +94,8 @@ def _ferns_update(
 
     def do_reloc(_):
         r = ferns_mod.find_frame(
-            state_ferns, rgb_s, vmap_s, nmap_s, depth_s, cam_s, _FERN_ODOM
+            state_ferns, rgb_s, vmap_s, nmap_s, depth_s, cam_s, _FERN_ODOM,
+            photo_thresh=cfg.ferns.photo_thresh,
         )
         return r.pose, r.ok
 
@@ -109,7 +111,8 @@ def _ferns_update(
     # only insert while tracking is healthy (the reference also skips fern
     # insertion when lost: fusion path is skipped entirely, :791)
     db, _ = ferns_mod.add_frame(
-        state_ferns, rgb_s, vmap_s, nmap_s, pose, time, 0.3095
+        state_ferns, rgb_s, vmap_s, nmap_s, pose, time,
+        cfg.ferns.encoding_threshold
     )
     db = jax.tree.map(
         lambda new, old: jnp.where(lost, old, new), db, state_ferns
@@ -204,15 +207,16 @@ def _init_step(rgb_u8, depth_raw, pose0, time, sp_params, cam: CameraModel, cfg:
     stats = stats.at[STAT_HWM].set(smap.count.astype(jnp.float32))
     rng = jax.random.PRNGKey(cfg.seed)
     fdb = ferns_mod.create(cfg.ferns, cam, seed=cfg.seed)
-    if cfg.reloc_mode:
+    if cfg.reloc_mode or cfg.close_loops:
         fdb, _ = ferns_mod.add_frame(
             fdb,
             *ferns_mod.downsample_frame(rgb, vmap_f, nmap_f, cfg.ferns.factor),
-            pose0, time, 0.3095,
+            pose0, time, cfg.ferns.encoding_threshold,
         )
     return GlobalState(
         smap, pose0, pose0, filled, coarse, tracks, rng, fdb,
         jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+        loop_closure.empty_log(),
     ), stats
 
 
@@ -306,6 +310,26 @@ def _frame_core(
     else:
         ferns_db = state.ferns
 
+    # ---- global loop closure (closeLoops, MultiMotionFusion.cpp:679-789) --
+    # fern retrieval + embedded-deformation map correction, BEFORE fusion so
+    # the corrected map/pose receive this frame's data (reference order:
+    # closeLoops :679, fuse :791). Off by default for fork parity (§5.4).
+    smap_in = state.smap
+    match_log = state.pose_matches
+    if cfg.close_loops:
+        f = cfg.ferns.factor
+        cam_s = _fern_cam(cam, f)
+        rgb_s, vmap_s, nmap_s = ferns_mod.downsample_frame(rgb, vmap_f, nmap_f, f)
+        smap_in, pose, match = loop_closure.attempt(
+            ferns_db, smap_in, pose, rgb_s, vmap_s, nmap_s, time, cam_s, cfg
+        )
+        match_log = loop_closure.log_append(match_log, match)
+        if not cfg.reloc_mode:  # reloc mode already inserts keyframes above
+            ferns_db, _ = ferns_mod.add_frame(
+                ferns_db, rgb_s, vmap_s, nmap_s, pose, time,
+                cfg.ferns.encoding_threshold
+            )
+
     # ---- fusion weight (Model::computeFusionWeight, Model.cpp:876-891) ----
     diff = pose @ se3.inverse_T(state.prev_pose)
     motion = jnp.maximum(
@@ -316,7 +340,7 @@ def _frame_core(
     )
 
     # ---- fuse + clean ------------------------------------------------------
-    sub = state.smap.bucketed(bucket_fuse)
+    sub = smap_in.bucketed(bucket_fuse)
     fs = sm.compute_frame_surfels(
         rgb, vmap_raw, vmap_f, nmap_f, cam, time, scfg.depth_cutoff, weighting
     )
@@ -337,7 +361,7 @@ def _frame_core(
             data=jnp.where(lost, sub.data, cleaned.data),
             count=jnp.where(lost, sub.count, cleaned.count),
         )
-    data = state.smap.data.at[:, :bucket_fuse].set(cleaned.data)
+    data = smap_in.data.at[:, :bucket_fuse].set(cleaned.data)
     smap = sm.SurfelMap(data=data, count=cleaned.count)
 
     # ---- prediction for the next frame ------------------------------------
@@ -364,7 +388,7 @@ def _frame_core(
     stats = stats.at[STAT_HWM].set(smap.count.astype(jnp.float32))
     return GlobalState(
         smap, pose, state.pose, filled, coarse, tracks, rng, ferns_db,
-        bad_count, lost,
+        bad_count, lost, match_log,
     ), stats
 
 
@@ -480,6 +504,7 @@ class MultiMotionFusionTPU:
         self.state: Optional[GlobalState] = None
         self.mstate = None  # MultiState when enable_multi_model
         self._obj_pose_dev: List[tuple] = []  # (ts, obj_poses, obj_active)
+        self._spawn_dev: List[tuple] = []  # (ts, spawn?, slot, refine_T)
         self.lost = False
         self.stats: Dict[str, float] = {}
         self._stats_dev: List[jnp.ndarray] = []  # per-frame device stats vectors
@@ -490,6 +515,9 @@ class MultiMotionFusionTPU:
         self._bucket = 0  # sticky work bucket (see _buckets)
         self._zero_mask = None  # cached device-side all-zeros mask
         self._upload_pool = None  # single-thread uploader (see upload())
+        self._last_args = None  # (kind, frame arrays) for bucket prewarming
+        self._prewarmed: set = set()  # bucket rungs already compiled ahead
+        self.last_mask = None  # latest segmentation (device; '-es' export)
 
     @property
     def global_model(self) -> Model:
@@ -541,30 +569,96 @@ class MultiMotionFusionTPU:
             self._bucket = _bucket_for(est + 1, cap)
         return self._bucket, self._bucket
 
+    def _maybe_prewarm(self):
+        """Compile the NEXT bucket rung in a background thread before the map
+        grows into it, so rung crossings never stall the frame stream.
+
+        A rung crossing recompiles the whole frame program — tens of seconds
+        through a tunnelled backend, far beyond any frame budget (the
+        reference never recompiles; this is the jit-cache equivalent of its
+        fixed preallocation). Triggered once the growth extrapolation passes
+        70% of the current bucket; the warming call replays the LAST frame's
+        inputs at the next rung (result discarded), which both compiles and
+        caches the exact (shapes, statics) variant the real stream will hit.
+        Costs one extra device step per rung per session.
+        """
+        cap = self.cfg.surfels.max_surfels
+        if (
+            self._bucket >= cap
+            or self._last_args is None
+            or self.state is None
+        ):
+            return
+        margin = max(4 * self._growth_rate, 2048)
+        est = self._hwm + (self.tick + 1 - self._hwm_tick) * margin
+        if est < 0.7 * self._bucket:
+            return
+        nxt = _bucket_for(self._bucket + 1, cap)
+        if nxt <= self._bucket or nxt in self._prewarmed:
+            return
+        self._prewarmed.add(nxt)
+        import threading
+
+        kind, args = self._last_args
+        state, mstate = self.state, self.mstate
+        tick, sp, cam, cfg = self.tick, self.sp_params, self.cam, self.cfg
+
+        def _go():
+            try:
+                if kind == "multi":
+                    from multimotionfusion_tpu import engine_multi as em
+
+                    rgb_u8, depth_raw, uv, mask = args
+                    em.multi_frame_step(
+                        mstate, rgb_u8, depth_raw, uv, tick, 1.0, sp, cam,
+                        cfg, nxt, ext_mask=mask,
+                    )
+                elif kind == "batch":
+                    rgbs, depths, uvs = args
+                    _frame_steps_batch(
+                        state, rgbs, depths, tick, 1.0, sp, cam, cfg, nxt,
+                        nxt, uvs,
+                    )
+                else:
+                    rgb_u8, depth_raw, mask, uv = args
+                    _frame_step(
+                        state, rgb_u8, depth_raw, mask, tick, 1.0, sp, cam,
+                        cfg, nxt, nxt, uv,
+                    )
+            except Exception:
+                pass  # a failed prewarm only costs the stall it tried to hide
+
+        threading.Thread(target=_go, daemon=True, name="bucket-prewarm").start()
+
     def upload_batch(self, frames, background: bool = True):
-        """Stage a batch of frames as stacked arrays (one transfer)."""
+        """Stage a batch of frames as stacked arrays (one transfer).
+
+        No host-side repacking: depth rides in the reader's native dtype
+        (u16 mm from sensors/logs, f32 m from synthetic sources) and colour
+        as raw u8 — measured on the tunnelled TPU, transfer runs ~1 GB/s
+        while numpy repacking costs ~10 ms/frame of host CPU, so minimising
+        HOST work (not bytes) is what keeps the upload off the critical path.
+        The background path drives the copy to completion (block_until_ready)
+        so it genuinely overlaps with the in-flight device step instead of
+        being performed lazily at next dispatch.
+        """
         import numpy as _np
 
         def _put():
-            deps = []
-            for f in frames:
-                d = f.depth
-                if d.dtype != _np.uint16 and self.cfg.upload_depth_mm:
-                    d = _np.clip(_np.nan_to_num(d) * 1000.0, 0, 65535).astype(
-                        _np.uint16
-                    )
-                deps.append(d)
+            deps = _np.stack([f.depth for f in frames])
             if self.cfg.upload_yuv420 and frames[0].rgb.dtype == _np.uint8:
                 packed = [_pack_yuv420(f.rgb) for f in frames]
-                return jax.device_put(
+                out = jax.device_put(
                     (
                         _np.stack([p[0] for p in packed]),
-                        _np.stack(deps),
+                        deps,
                         _np.stack([p[1] for p in packed]),
                     )
                 )
-            rgbs = _np.stack([f.rgb for f in frames])
-            return jax.device_put((rgbs, _np.stack(deps)))
+            else:
+                rgbs = _np.stack([f.rgb for f in frames])
+                out = jax.device_put((rgbs, deps))
+            return jax.block_until_ready(out)
 
         if background:
             if self._upload_pool is None:
@@ -603,6 +697,8 @@ class MultiMotionFusionTPU:
             self.state, rgbs, depths, self.tick, weight_multiplier,
             self.sp_params, self.cam, self.cfg, bucket_fuse, bucket_pred, uvs,
         )
+        self._last_args = ("batch", (rgbs, depths, uvs))
+        self._maybe_prewarm()
         # store the BATCHED device arrays whole: slicing stats[i]/poses[i]
         # here would enqueue a ~20 ms tunnel dispatch per slice, defeating
         # the batching; consumers expand at fetch time
@@ -614,20 +710,15 @@ class MultiMotionFusionTPU:
     def upload(self, frame: FrameData, background: bool = True):
         """Stage a frame's arrays on the device ahead of process_frame.
 
-        Uploads are the second-largest wall-clock cost after the device step
-        itself (the host->device link is a tunnel on remote backends and
-        device_put blocks), so callers should pipeline: upload frame t+1
-        while frame t computes. Depth is sent as uint16 millimetres (raw
-        sensor units, 3x smaller than f32 metres; conversion happens on
-        device). Returns a handle accepted by process_frame.
+        Callers should pipeline: upload frame t+1 while frame t computes.
+        Depth rides in the reader's native dtype (u16 mm from sensors/logs
+        converts to metres on device; f32 passes through — see upload_batch
+        on why host repacking is avoided). Returns a handle accepted by
+        process_frame.
         """
 
         def _put():
             depth = frame.depth
-            if depth.dtype != np.uint16 and self.cfg.upload_depth_mm:
-                depth = np.clip(
-                    np.nan_to_num(depth) * 1000.0, 0, 65535
-                ).astype(np.uint16)
             if self.cfg.upload_yuv420 and frame.rgb.dtype == np.uint8:
                 y, uv = _pack_yuv420(frame.rgb)
                 arrs = [y, depth, uv]
@@ -635,7 +726,7 @@ class MultiMotionFusionTPU:
                 arrs = [frame.rgb, depth]
             if frame.mask is not None:
                 arrs.append(frame.mask.astype(np.int32))
-            return jax.device_put(tuple(arrs))
+            return jax.block_until_ready(jax.device_put(tuple(arrs)))
 
         if background:
             if self._upload_pool is None:
@@ -707,6 +798,9 @@ class MultiMotionFusionTPU:
                     ),
                     pred_depth=pred_depth,
                     last_spawn=jnp.zeros((), jnp.int32),
+                    ferns=self.state.ferns,
+                    bad_track_count=self.state.bad_track_count,
+                    lost=self.state.lost,
                 )
             self._hwm = int(self.state.smap.count)
             self._hwm_tick = 1
@@ -714,22 +808,31 @@ class MultiMotionFusionTPU:
             from multimotionfusion_tpu import engine_multi as em
 
             bucket_fuse, _ = self._buckets()
-            self.mstate, stats, _ = em.multi_frame_step(
+            self.mstate, stats, seg_mask, aux = em.multi_frame_step(
                 self.mstate, rgb_u8, depth_raw, uv, self.tick,
                 weight_multiplier, self.sp_params, cam, self.cfg, bucket_fuse,
+                ext_mask=mask,
             )
+            self._last_args = ("multi", (rgb_u8, depth_raw, uv, mask))
+            self.last_mask = seg_mask  # device array; fetched only on export
+            self._maybe_prewarm()
             # mirror the global-model fields for shared accessors/exports
             self.state = GlobalState(
                 smap=self.mstate.smap, pose=self.mstate.pose,
                 prev_pose=self.mstate.prev_pose, filled=self.mstate.filled,
                 last_intensity_coarse=self.mstate.last_intensity_coarse,
                 tracks=self.mstate.tracks, rng=self.mstate.rng,
-                ferns=self.state.ferns, bad_track_count=self.state.bad_track_count,
-                lost=self.state.lost,
+                ferns=self.mstate.ferns,
+                bad_track_count=self.mstate.bad_track_count,
+                lost=self.mstate.lost, pose_matches=self.state.pose_matches,
             )
             self._obj_pose_dev.append(
                 (frame.timestamp, self.mstate.objects.pose,
                  self.mstate.objects.active)
+            )
+            # lazily-resolved spawn records for trajectory back-dating
+            self._spawn_dev.append(
+                (frame.timestamp, aux.spawn, aux.slot, aux.refine_T)
             )
         else:
             if self.cfg.odom_init == "tf" and gt_pose is not None:
@@ -742,6 +845,8 @@ class MultiMotionFusionTPU:
                 weight_multiplier, self.sp_params, cam, self.cfg,
                 bucket_fuse, bucket_pred, uv,
             )
+            self._last_args = ("single", (rgb_u8, depth_raw, mask, uv))
+            self._maybe_prewarm()
         self._stats_dev.append(stats)
         self._pose_dev.append((frame.timestamp, self.state.pose))
         self.tick += 1
@@ -749,21 +854,51 @@ class MultiMotionFusionTPU:
         sw.send_all()
         return self.current_stats(sync=False)
 
+    def pose_matches(self) -> List[Dict]:
+        """Loop-closure PoseMatch records (reference Core/PoseMatch.h), newest
+        last; at most MatchLog.capacity retained."""
+        if self.state is None:
+            return []
+        log = self.state.pose_matches
+        n = int(log.count)
+        cap = log.capacity
+        out = []
+        times = np.asarray(log.times)
+        poses = np.asarray(log.poses)
+        acc = np.asarray(log.accepted)
+        err = np.asarray(log.cons_err)
+        for i in range(max(0, n - cap), n):
+            s = i % cap
+            out.append(
+                {
+                    "source_time": int(times[s, 0]),
+                    "dest_time": int(times[s, 1]),
+                    "source_pose": poses[s, 0],
+                    "dest_pose": poses[s, 1],
+                    "accepted": bool(acc[s]),
+                    "mean_cons_err": float(err[s]),
+                }
+            )
+        return out
+
     def current_stats(self, sync: bool = True) -> Dict[str, float]:
         """Latest per-frame stats; with sync=False returns the last fetched."""
         if sync and self._stats_dev:
             s = np.asarray(self._stats_dev[-1])
             if s.ndim == 2:  # batched step: last frame of the batch
                 s = s[-1]
-            if self.cfg.enable_multi_model and s.shape[0] > 6 and self.tick > 2:
+            if self.cfg.enable_multi_model and s.shape[0] > 9 and self.tick > 2:
                 self.stats = {
                     "icp_error": float(s[0]),
                     "icp_count": float(s[1]),
-                    "surfels": float(s[2]),
-                    "hwm": float(s[3]),
-                    "spawned": float(s[4]),
-                    "active_objects": float(s[5]),
-                    "segment_px": [float(v) for v in s[6:]],
+                    "rgb_error": float(s[2]),
+                    "rgb_count": float(s[3]),
+                    "surfels": float(s[4]),
+                    "hwm": float(s[5]),
+                    "spawned": float(s[6]),
+                    "active_objects": float(s[7]),
+                    "lost": float(s[8]),
+                    "segment_px": [float(v) for v in s[9:]],
                 }
             else:
                 self.stats = {
@@ -791,7 +926,7 @@ class MultiMotionFusionTPU:
     # round-trips through one file, so long mapping sessions survive
     # restarts and crashes.
 
-    CKPT_VERSION = 1
+    CKPT_VERSION = 2  # v2: GlobalState grew the loop-closure PoseMatch log
 
     def save_checkpoint(self, path: str) -> str:
         import pickle
@@ -808,6 +943,10 @@ class MultiMotionFusionTPU:
             "obj_pose_log": [
                 (ts, np.asarray(p), np.asarray(a))
                 for ts, p, a in self._obj_pose_dev
+            ],
+            "spawn_log": [
+                (ts, bool(np.asarray(sp)), int(np.asarray(sl)), np.asarray(rT))
+                for ts, sp, sl, rT in self._spawn_dev
             ],
             "hwm": self._hwm,
             "hwm_tick": self._hwm_tick,
@@ -838,6 +977,7 @@ class MultiMotionFusionTPU:
             (ts, jnp.asarray(p), jnp.asarray(a))
             for ts, p, a in blob["obj_pose_log"]
         ]
+        self._spawn_dev = list(blob.get("spawn_log", []))
         self._stats_dev.clear()
         self._hwm = blob["hwm"]
         self._hwm_tick = blob["hwm_tick"]
@@ -872,6 +1012,29 @@ class MultiMotionFusionTPU:
                 for k in range(n_slots):
                     if active[k]:
                         obj_logs[k].append((ts, poses[k]))
+            # back-date each spawned object's trajectory from its track
+            # history (Model::refineTrackSubset, Model.cpp:649-737): compose
+            # the per-step transforms backwards from identity at spawn
+            ts_order = [ts for ts, _ in pose_log]
+            ts_index = {ts: i for i, ts in enumerate(ts_order)}
+            for ts, sp, sl, rT in self._spawn_dev:
+                if not bool(np.asarray(sp)):
+                    continue
+                i = ts_index.get(ts)
+                if i is None:
+                    continue
+                sl = int(np.asarray(sl))
+                rT = np.asarray(rT)
+                P = np.eye(4, dtype=np.float64)
+                backdated = []
+                for k in range(rT.shape[0]):
+                    j = i - k - 1
+                    if j < 0 or not np.all(np.isfinite(rT[k])):
+                        break
+                    # P(s-k-1) = P(s-k) @ inv(T_k), T_k: p(s-k) -> p(s-k-1)
+                    P = P @ np.linalg.inv(rT[k])
+                    backdated.append((ts_order[j], P.astype(np.float32)))
+                obj_logs[sl] = backdated[::-1] + obj_logs[sl]
             for k, log in obj_logs.items():
                 if log:
                     models.append((k + 1, log))
@@ -908,10 +1071,13 @@ class MultiMotionFusionTPU:
         self._stats_dev.clear()
         self._pose_dev.clear()
         self._obj_pose_dev.clear()
+        self._spawn_dev.clear()
         self._hwm = 0
         self._hwm_tick = 0
         self._growth_rate = 4096
         self._bucket = 0
+        self._last_args = None
+        self._prewarmed.clear()
 
     def set_odom_init(self, mode: str):
         """Service 'set_odom_init' ('kp' | 'tf' | '')."""

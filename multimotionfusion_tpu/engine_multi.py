@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from multimotionfusion_tpu.config import CameraModel, EngineConfig
+from multimotionfusion_tpu.model import ferns as ferns_mod
 from multimotionfusion_tpu.model import fusion, surfel_map as sm
 from multimotionfusion_tpu.model.fillin import FilledMaps, fill_in
 from multimotionfusion_tpu.odometry import levels as lv
@@ -63,10 +64,22 @@ class ObjectSlots(NamedTuple):
     stored_desc: jnp.ndarray  # [S, Ks, D]
     stored_p3d: jnp.ndarray  # [S, Ks, 3] model-local coordinates
     stored_valid: jnp.ndarray  # [S, Ks]
+    # external-mask id owned by this slot ("precomputed" segmentation,
+    # Segmentation.cpp:89-147); 0 = unassigned
+    ext_id: jnp.ndarray  # [S] int32
 
     @property
     def num_slots(self) -> int:
         return self.data.shape[0]
+
+
+class SpawnAux(NamedTuple):
+    """Per-frame lifecycle outputs the host consumes lazily (no sync)."""
+
+    spawn: jnp.ndarray  # [] bool — a fresh model claimed a slot this frame
+    redetect: jnp.ndarray  # [] bool — a stored model was re-attached
+    slot: jnp.ndarray  # [] int32 — the claimed slot
+    refine_T: jnp.ndarray  # [L, 4, 4] per-step back-dating transforms
 
 
 class MultiState(NamedTuple):
@@ -84,6 +97,12 @@ class MultiState(NamedTuple):
     prev_intensity: jnp.ndarray  # [H, W] previous frame intensity (flow)
     pred_depth: jnp.ndarray  # [1 + S, H, W] per-model predicted depth
     last_spawn: jnp.ndarray  # [] int32 tick of the last spawn (cool-down)
+    # global-model loop-closure/relocalisation state: the reference runs
+    # closeLoops for the global model regardless of multi-model mode
+    # (MultiMotionFusion.cpp:629-695)
+    ferns: ferns_mod.FernDB
+    bad_track_count: jnp.ndarray  # [] int32 consecutive bad-covariance frames
+    lost: jnp.ndarray  # [] bool
 
 
 def empty_objects(cfg: EngineConfig, cam: CameraModel) -> ObjectSlots:
@@ -105,6 +124,7 @@ def empty_objects(cfg: EngineConfig, cam: CameraModel) -> ObjectSlots:
         stored_desc=jnp.zeros((s, ks, d), jnp.float32),
         stored_p3d=jnp.zeros((s, ks, 3), jnp.float32),
         stored_valid=jnp.zeros((s, ks), bool),
+        ext_id=jnp.zeros((s,), jnp.int32),
     )
 
 
@@ -175,6 +195,7 @@ def multi_frame_step(
     cam: CameraModel,
     cfg: EngineConfig,
     bucket_fuse: int,
+    ext_mask=None,  # [H, W] int32 user-provided mask ("precomputed" mode)
 ):
     """One jitted multi-model frame (tick > 1): track all models, segment,
     spawn/deactivate, fuse, predict."""
@@ -221,6 +242,27 @@ def multi_frame_step(
         seed_valid=seed_ok0 if seeded else None,
     )
     new_pose0 = odo0.pose
+
+    # ---- global-model lost detection + fern relocalisation (reloc mode) ----
+    # same mechanism as the static path (MultiMotionFusion.cpp:629-695): the
+    # reference closes loops / relocalises the GLOBAL model regardless of how
+    # many object models are active
+    from multimotionfusion_tpu.engine import _ferns_update
+
+    bad_count = state.bad_track_count
+    lost = state.lost
+    if cfg.reloc_mode:
+        cov = jnp.linalg.inv(odo0.A + jnp.eye(6, dtype=jnp.float32) * 1e-12)
+        bad = (jnp.max(jnp.diagonal(cov)) > 1e-4) | (odo0.icp_count < 100)
+        bad_count = jnp.where(bad, bad_count + 1, 0)
+        lost = lost | (bad_count > 10)
+        ferns_db, new_pose0, relocalised = _ferns_update(
+            state.ferns, rgb, vmap_f, nmap_f, new_pose0, time, lost, cam, cfg
+        )
+        lost = lost & ~relocalised
+        bad_count = jnp.where(relocalised, 0, bad_count)
+    else:
+        ferns_db = state.ferns
 
     # ---- object models: per-slot kp init + masked dense refinement ---------
     obj = state.objects
@@ -284,7 +326,28 @@ def multi_frame_step(
     txy = tracks.xy[:, s1]
     model_active = jnp.concatenate([jnp.array([True]), obj.active])
     allow_new = cfg.enable_model_spawning and cfg.object_slots > 0
-    if cfg.segmentation.mode == "crf":
+    reactivate = jnp.zeros((n_slots,), bool)
+    new_ext_id = jnp.zeros((), jnp.int32)
+    if cfg.segmentation.mode == "precomputed":
+        # external-mask passthrough (Segmentation.cpp:89-147): no CRF at all
+        from multimotionfusion_tpu.segmentation import precomputed as pc
+
+        xm = ext_mask if ext_mask is not None else jnp.zeros((h, w), jnp.int32)
+        pres = pc.precomputed_segmentation(
+            xm, obj.ext_id, obj.active, depth_filt,
+            cfg.segmentation.min_mask_size_px,
+        )
+        reactivate = pres.reactivate
+        new_ext_id = pres.new_ext_id
+        seg_res = seg.SegmentationResult(
+            mask=pres.mask,
+            new_label_mask=pres.new_label_mask,
+            has_new_label=pres.has_new_label,
+            pixel_counts=pres.pixel_counts,
+            depth_mean=pres.depth_mean,
+            flow=jnp.zeros((cam.height // 4, cam.width // 4, 2), jnp.float32),
+        )
+    elif cfg.segmentation.mode == "crf":
         # legacy CoFusion mode (Segmentation::performSegmentationCRF):
         # unaries from per-model ICP error textures + prediction confidence
         from multimotionfusion_tpu.segmentation import legacy_crf
@@ -412,6 +475,27 @@ def multi_frame_step(
     new_model_id = jnp.where(seen_now, track_label, tracks.model_id)
     tracks = tracks._replace(model_id=new_model_id)
 
+    # ---- back-date the new object's trajectory (Model::refineTrackSubset,
+    # Model.cpp:649-737, called from MultiMotionFusion.cpp:565-604): at spawn,
+    # per-step rigid fits over the new model's track history produce relative
+    # transforms the host composes into pre-spawn poses for the export log.
+    refine_len = min(8, tracks.history - 2)
+    rng, rkey = jax.random.split(rng)
+
+    def do_refine(k):
+        sel = tracks.model_id == new_id
+        T_steps, _ = tracker.refine_track_subset(
+            tracks, sel, time, refine_len, k, cfg.ransac
+        )
+        return T_steps
+
+    def no_refine(k):
+        return jnp.broadcast_to(
+            jnp.eye(4, dtype=jnp.float32), (refine_len, 4, 4)
+        )
+
+    refine_T = jax.lax.cond(spawn, do_refine, no_refine, rkey)
+
     # ---- spawn: initialise the free slot from the new-label pixels ---------
     fs = sm.compute_frame_surfels(
         rgb, vmap_raw, vmap_f, nmap_f, cam, time, scfg.depth_cutoff, 100.0
@@ -427,8 +511,13 @@ def multi_frame_step(
         is_spawn_slot[:, None, None], spawn_map.data[None], obj.data
     )
     obj_count = jnp.where(is_spawn_slot, spawn_map.count, obj.count)
-    obj_active = obj.active | is_spawn_slot | is_red_slot
+    # `reactivate`: an inactive slot whose EXTERNAL mask id reappeared
+    # (precomputed mode only) resumes with its retained map
+    obj_active = obj.active | is_spawn_slot | is_red_slot | reactivate
     obj_stored = obj.stored & ~is_spawn_slot & ~is_red_slot
+    obj_ext_id = jnp.where(
+        is_spawn_slot | is_red_slot, new_ext_id, obj.ext_id
+    )
     # spawned models start at identity; redetected ones adopt the RANSAC pose
     # (maps camera points onto the stored model frame, Model::activate)
     obj_pose = jnp.where(
@@ -504,6 +593,12 @@ def multi_frame_step(
         fused0, im0, depth_filt, mask, 0, new_pose0, cam,
         time, scfg.time_delta, scfg.conf_threshold, scfg, attrs=attrs0,
     )
+    if cfg.reloc_mode:
+        # global fusion is skipped while lost (MultiMotionFusion.cpp:791)
+        cleaned0 = sm.SurfelMap(
+            data=jnp.where(lost, sub.data, cleaned0.data),
+            count=jnp.where(lost, sub.count, cleaned0.count),
+        )
     gdata = state.smap.data.at[:, :bucket_fuse].set(cleaned0.data)
     smap = sm.SurfelMap(data=gdata, count=cleaned0.count)
     pred0 = rasterize.splat_resolve(
@@ -527,12 +622,16 @@ def multi_frame_step(
         fused = fusion.fuse(
             omap, fs_w, im, mask, mask_id, pose, cam, time, scfg, attrs=attrs
         )
+        # object models clean/render at the LOW object confidence gate
+        # ('-confO' 0.01 vs '-confG' 10.0, MainController.cpp:77-78): young
+        # small models would otherwise render nothing for masked tracking
         cleaned = fusion.clean(
             fused, im, depth_filt, mask, mask_id, pose, cam,
-            time, scfg.time_delta, scfg.conf_threshold, scfg, attrs=attrs,
+            time, scfg.time_delta, scfg.object_conf_threshold, scfg,
+            attrs=attrs,
         )
         pred = rasterize.splat_resolve(
-            im, cam, scfg.conf_threshold, time, time, scfg.time_delta,
+            im, cam, scfg.object_conf_threshold, time, time, scfg.time_delta,
             scfg.splat_footprint, attrs=attrs,
         )
         # inactive slots: keep previous state untouched
@@ -549,7 +648,7 @@ def multi_frame_step(
         unseen=unseen, spawn_tick=obj_spawn_tick,
         pred_vertex_conf=opvc, pred_normal_rad=opnr, pred_color=opcol,
         stored=obj_stored, stored_desc=stored_desc, stored_p3d=stored_p3d,
-        stored_valid=stored_valid,
+        stored_valid=stored_valid, ext_id=obj_ext_id,
     )
 
     pred_depth = jnp.concatenate(
@@ -562,10 +661,12 @@ def multi_frame_step(
             jnp.stack(
                 [
                     odo0.icp_error, odo0.icp_count,
+                    odo0.rgb_error, odo0.rgb_count,
                     smap.alive_count().astype(jnp.float32),
                     smap.count.astype(jnp.float32),
                     spawn.astype(jnp.float32),
                     jnp.sum(obj_active.astype(jnp.float32)),
+                    lost.astype(jnp.float32),
                 ]
             ),
             seg_res.pixel_counts.astype(jnp.float32),
@@ -576,5 +677,9 @@ def multi_frame_step(
         last_intensity_coarse=coarse, tracks=tracks, rng=rng, objects=objects,
         prev_mask=mask, prev_intensity=intensity, pred_depth=pred_depth,
         last_spawn=jnp.where(claim, jnp.int32(time), state.last_spawn),
+        ferns=ferns_db, bad_track_count=bad_count, lost=lost,
     )
-    return new_state, stats, mask
+    aux = SpawnAux(
+        spawn=spawn, redetect=any_red, slot=target_slot, refine_T=refine_T
+    )
+    return new_state, stats, mask, aux

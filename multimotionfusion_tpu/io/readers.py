@@ -118,8 +118,14 @@ class ImageLogReader(LogReader):
         depth_prefix: str = "Depth",
         mask_prefix: str = "Mask",
         fps: float = 30.0,
+        depth_dir: Optional[str] = None,  # '-depthdir' (defaults to directory)
+        mask_dir: Optional[str] = None,  # '-maskdir'
+        mask_stop_frame: Optional[int] = None,  # '-nm': ignore masks from here
     ):
         self.dir = directory
+        self.depth_dir = depth_dir or directory
+        self.mask_dir = mask_dir or directory
+        self.mask_stop_frame = mask_stop_frame
         self.fps = fps
         self.color_prefix, self.depth_prefix, self.mask_prefix = (
             color_prefix, depth_prefix, mask_prefix,
@@ -136,9 +142,9 @@ class ImageLogReader(LogReader):
     def __len__(self) -> int:
         return len(self.indices)
 
-    def _find(self, prefix: str, idx: str, exts) -> Optional[str]:
+    def _find(self, prefix: str, idx: str, exts, base=None) -> Optional[str]:
         for ext in exts:
-            p = os.path.join(self.dir, f"{prefix}{idx}.{ext}")
+            p = os.path.join(base or self.dir, f"{prefix}{idx}.{ext}")
             if os.path.exists(p):
                 return p
         return None
@@ -148,7 +154,9 @@ class ImageLogReader(LogReader):
 
         for i, idx in enumerate(self.indices):
             cpath = self._find(self.color_prefix, idx, ("png", "jpg", "jpeg"))
-            dpath = self._find(self.depth_prefix, idx, ("exr", "png"))
+            dpath = self._find(
+                self.depth_prefix, idx, ("exr", "png"), self.depth_dir
+            )
             bgr = cv2.imread(cpath, cv2.IMREAD_COLOR)
             if dpath and dpath.endswith(".exr"):
                 depth = cv2.imread(dpath, cv2.IMREAD_ANYDEPTH | cv2.IMREAD_ANYCOLOR)
@@ -158,9 +166,12 @@ class ImageLogReader(LogReader):
                 d16 = cv2.imread(dpath, cv2.IMREAD_ANYDEPTH)
                 depth = d16.astype(np.float32) * 0.001  # 16-bit png in mm
             mask = None
-            mpath = self._find(self.mask_prefix, idx, ("png", "pgm"))
-            if mpath:
-                mask = cv2.imread(mpath, cv2.IMREAD_GRAYSCALE)
+            if self.mask_stop_frame is None or i < self.mask_stop_frame:
+                mpath = self._find(
+                    self.mask_prefix, idx, ("png", "pgm"), self.mask_dir
+                )
+                if mpath:
+                    mask = cv2.imread(mpath, cv2.IMREAD_GRAYSCALE)
             yield FrameData(
                 rgb=np.ascontiguousarray(bgr[..., ::-1]),
                 depth=np.asarray(depth, np.float32),
@@ -209,6 +220,35 @@ class SyntheticLogReader(LogReader):
                 timestamp=int(i / self.fps * 1e9),
                 name=f"synthetic-{i}",
             )
+
+
+class SlicedLogReader(LogReader):
+    """Start/stop/stride view over another reader ('-s', '-e', '-skip')."""
+
+    def __init__(self, inner: LogReader, start: int = 0,
+                 end: Optional[int] = None, stride: int = 1):
+        self.inner = inner
+        self.start = start
+        self.end = end if end is not None else len(inner)
+        self.stride = max(stride, 1)
+
+    def __len__(self) -> int:
+        n = max(min(self.end, len(self.inner)) - self.start, 0)
+        return -(-n // self.stride)
+
+    def intrinsics(self) -> Optional[CameraModel]:
+        return self.inner.intrinsics()
+
+    def get_incremental_transformation(self, ts):
+        fn = getattr(self.inner, "get_incremental_transformation", None)
+        return fn(ts) if fn else None
+
+    def __iter__(self) -> Iterator[FrameData]:
+        for i, f in enumerate(self.inner):
+            if i < self.start or i >= self.end:
+                continue
+            if (i - self.start) % self.stride == 0:
+                yield f
 
 
 def open_log(uri: str, cam: Optional[CameraModel] = None) -> LogReader:

@@ -117,17 +117,21 @@ def _predict_fillin(
 def _bucket_for(n: int, capacity: int, floor: int = 1 << 15) -> int:
     """Smallest work bucket >= n (host-side; one jit cache per size).
 
-    Buckets are powers of two up to 2^18, then multiples of 2^16: per-surfel
-    scatter cost is linear in the bucket, and a pure power-of-two ladder
-    wastes up to 2x (a 307k-surfel map would pay for 524k); the finer rungs
-    cost a handful of extra compiles over a run, each cached thereafter.
+    Buckets are powers of two up to 2^18, then a x1.5 geometric ladder
+    (384k, 576k, 864k, capacity): per-surfel scatter cost is linear in the
+    bucket, so finer rungs save device time, but EVERY rung crossed during a
+    live run costs a full recompile of the frame program (tens of seconds
+    through a tunnelled backend). The engine pre-compiles the next rung in a
+    background thread (see MultiMotionFusionTPU._prewarm_next_bucket), which
+    makes crossings stall-free — the ladder only has to bound the wasted
+    scatter work (<= 1.5x) and the number of compiles per session (~4 above
+    256k for a 1M-surfel map).
     """
     b = floor
     while b < n and b < (1 << 18):
         b <<= 1
-    if b < n:
-        step = 1 << 16
-        b = -(-n // step) * step
+    while b < n:
+        b += b >> 1
     return min(b, capacity)
 
 

@@ -33,13 +33,13 @@ def built():
 def test_sharded_full_step_matches_unsharded(mesh, built):
     eng, state, rgb2, depth2 = built
 
-    ref_state, ref_stats, ref_mask = dryrun.run_step(eng, state, rgb2, depth2)
+    ref_state, ref_stats, ref_mask, _ = dryrun.run_step(eng, state, rgb2, depth2)
     jax.block_until_ready(ref_state.pose)
 
     state_sh = mm.shard_multi_state(state, mesh)
     rgb_sh = mm.replicate(jnp.asarray(rgb2), mesh)
     depth_sh = mm.replicate(jnp.asarray(depth2), mesh)
-    sh_state, sh_stats, sh_mask = dryrun.run_step(eng, state_sh, rgb_sh, depth_sh)
+    sh_state, sh_stats, sh_mask, _ = dryrun.run_step(eng, state_sh, rgb_sh, depth_sh)
     jax.block_until_ready(sh_state.pose)
 
     np.testing.assert_allclose(
