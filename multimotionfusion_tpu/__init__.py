@@ -17,4 +17,16 @@ fixed-capacity arrays; host Python only does frame-level orchestration.
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# SLAM geometry cannot round through bf16: TPU's DEFAULT matmul precision is
+# bf16 (8 mantissa bits), which quantises pose compositions (~0.4% per 4x4
+# matmul, compounding every frame), Kabsch cross-covariances, and — fatally —
+# the one-hot selection matmuls whose outputs are surfel IDS (bf16 has ~2.3k
+# representable values below 2^17; 97% of fusion merges were silently
+# misdirected before this was pinned, see model/fusion.py). Hot kernels that
+# can tolerate reduced precision opt back in with explicit bf16 dtypes
+# (odometry/rgbd.py tap banks), which this flag does not affect.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from multimotionfusion_tpu.config import CameraModel, EngineConfig, OdometryConfig

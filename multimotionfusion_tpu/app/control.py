@@ -15,15 +15,19 @@ one JSON object per line out.
     {"cmd": "deactivate_model", "id": 2}
     {"cmd": "status"}                        -> {"ok": true, "status": "..."}
 
-The server runs on a daemon thread; command handlers only touch the engine's
-host-side control state (config swaps, pause flag), which the frame loop reads
-between steps — the same decoupling as the reference's mutex-guarded configs
-(MultiMotionFusion.h:368, Segmentation.h:162).
+The server runs on a daemon thread. Commands that only swap host-side control
+state (config swaps, pause flag) apply immediately; commands that MUTATE
+engine state (reset, deactivate_model) are queued and applied by the frame
+loop between steps via ``apply_pending()`` — applying them from the server
+thread could race a process_frame in flight (its ``self.state = ...``
+assignment would silently undo a concurrent reset). This mirrors the
+reference's mutex-guarded configs (MultiMotionFusion.h:368, Segmentation.h:162).
 """
 
 from __future__ import annotations
 
 import json
+import queue
 import socket
 import threading
 from typing import Optional
@@ -34,6 +38,7 @@ class ControlServer:
         self.engine = engine
         self.paused = False
         self.stop_requested = False
+        self._pending: queue.Queue = queue.Queue()
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._sock.bind((host, port))
@@ -78,8 +83,8 @@ class ControlServer:
                 f"icp_error={s.get('icp_error', 0):.3e}",
             }
         if cmd == "reset":
-            e.reset()
-            return {"ok": True}
+            self._pending.put(("reset", None))
+            return {"ok": True, "queued": True}
         if cmd == "pause":
             self.paused = True
             return {"ok": True}
@@ -102,9 +107,21 @@ class ControlServer:
             e.set_inhibit_new_models(bool(msg.get("inhibit", True)))
             return {"ok": True}
         if cmd == "deactivate_model":
-            ok = e.deactivate_model(int(msg.get("id", -1)))
-            return {"ok": bool(ok)}
+            self._pending.put(("deactivate_model", int(msg.get("id", -1))))
+            return {"ok": True, "queued": True}
         return {"ok": False, "error": f"unknown cmd '{cmd}'"}
+
+    def apply_pending(self):
+        """Apply queued state-mutating commands; call between frame steps."""
+        while True:
+            try:
+                cmd, arg = self._pending.get_nowait()
+            except queue.Empty:
+                return
+            if cmd == "reset":
+                self.engine.reset()
+            elif cmd == "deactivate_model":
+                self.engine.deactivate_model(arg)
 
     def close(self):
         try:

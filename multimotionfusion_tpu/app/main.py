@@ -264,17 +264,34 @@ def main(argv=None) -> int:
         frames_iter = iter(reader)
         first = next(frames_iter)
         engine.process_frame(first)
-        rest = []
-        for i, f in enumerate(frames_iter):
-            if i + 1 >= n:
-                break
-            rest.append(f)
-        chunks = [rest[i : i + args.batch] for i in range(0, len(rest), args.batch)]
-        handle = engine.upload_batch(chunks[0]) if chunks else None
-        for i, c in enumerate(chunks):
-            nxt = (
-                engine.upload_batch(chunks[i + 1]) if i + 1 < len(chunks) else None
-            )
+
+        def chunk_iter():
+            # decode lazily, one batch ahead of the device (a 640x480 frame is
+            # ~2 MB decoded; materialising a whole log up front risks host OOM)
+            budget = n - 1
+            buf = []
+            for f in frames_iter:
+                if budget <= 0:
+                    break
+                buf.append(f)
+                budget -= 1
+                if len(buf) == args.batch:
+                    yield buf
+                    buf = []
+            if buf:
+                yield buf
+
+        chunks = chunk_iter()
+        handle = None
+        try:
+            handle = engine.upload_batch(next(chunks))
+        except StopIteration:
+            pass
+        while handle is not None:
+            try:
+                nxt = engine.upload_batch(next(chunks))
+            except StopIteration:
+                nxt = None
             engine.process_frames(handle)
             handle = nxt
             if args.verbose:
@@ -290,6 +307,7 @@ def main(argv=None) -> int:
     processed = 0
     for i in range(n):
         if ctrl is not None:
+            ctrl.apply_pending()
             while ctrl.paused and not ctrl.stop_requested:
                 _time.sleep(0.05)
             if ctrl.stop_requested:

@@ -354,6 +354,7 @@ def _frame_core(
     cleaned = fusion.clean(
         fused, im, depth_filt, mask, 0, pose, cam,
         time, scfg.time_delta, scfg.conf_threshold, scfg, attrs=attrs,
+        compact=True,
     )
     if cfg.reloc_mode:
         # fusion is skipped while lost (MultiMotionFusion.cpp:791)
@@ -543,30 +544,41 @@ class MultiMotionFusionTPU:
     def _buckets(self, k_ahead: int = 1):
         """Pick work buckets from a (possibly stale) high-water mark.
 
-        The bucket is STICKY: it only ever grows (shrinking would flap
-        between rungs and each rung change costs a full recompile). Growth
-        between device syncs is extrapolated from the MEASURED per-frame
-        append rate (x4 safety margin); when the extrapolation would out-grow
-        the current bucket, the true count is first re-read from the device
-        (one small sync) — so buckets grow only when the map actually grows.
-        If a burst out-grows the margin within one sync interval, appends
-        beyond the bucket are dropped for those frames (the reference
-        likewise drops surfels at its hard capacity, Model.cpp:116-126)."""
+        The per-frame in-graph compaction (fusion.clean(compact=True)) keeps
+        ``count`` equal to the LIVE population, so the bucket tracks the real
+        map size. Growth between device syncs is extrapolated from the
+        MEASURED per-frame growth rate (x4 safety margin); when the
+        extrapolation would out-grow the current bucket, the true count is
+        first re-read from the device (one small sync) — so buckets grow only
+        when the map actually grows. Shrinking is allowed too, but only on a
+        fresh device read and only by whole rungs with a 2x hysteresis (the
+        initial frame seeds ~300k surfels of which most die at the unstable
+        grace deadline; without shrink the whole session would pay for that
+        transient). Intra-frame fuse appends (~10-15k before clean reclaims
+        them) ride inside a fixed headroom floor. If a burst out-grows the
+        margin within one sync interval, appends beyond the bucket are
+        dropped for those frames (the reference likewise drops surfels at its
+        hard capacity, Model.cpp:116-126)."""
         cap = self.cfg.surfels.max_surfels
+        headroom = 24576  # intra-frame append transient (reclaimed by clean)
         margin = max(4 * self._growth_rate, 2048)
         est = self._hwm + (self.tick + k_ahead - self._hwm_tick) * margin
         if self._bucket == 0:
-            self._bucket = _bucket_for(est + 1, cap)
-        if est + 1 > self._bucket and self.state is not None:
+            self._bucket = _bucket_for(est + headroom, cap)
+        stale = self.tick - self._hwm_tick
+        if (est + headroom > self._bucket or stale >= 64) and self.state is not None:
             new_hwm = int(self.state.smap.count)  # device sync (rare)
-            dt = max(self.tick - self._hwm_tick, 1)
+            dt = max(stale, 1)
             self._growth_rate = max((new_hwm - self._hwm) // dt, 64)
             self._hwm = new_hwm
             self._hwm_tick = self.tick
             margin = max(4 * self._growth_rate, 2048)
             est = self._hwm + (k_ahead + 1) * margin
-        if est + 1 > self._bucket:
-            self._bucket = _bucket_for(est + 1, cap)
+            ideal = _bucket_for(est + headroom, cap)
+            if ideal * 2 <= self._bucket:
+                self._bucket = ideal  # whole-rung shrink, 2x hysteresis
+        if est + headroom > self._bucket:
+            self._bucket = _bucket_for(est + headroom, cap)
         return self._bucket, self._bucket
 
     def _maybe_prewarm(self):
@@ -646,6 +658,12 @@ class MultiMotionFusionTPU:
 
         def _put():
             deps = _np.stack([f.depth for f in frames])
+            if self.cfg.upload_depth_mm and deps.dtype == _np.float32:
+                # sensor-native u16 millimetres: 2x fewer bytes than f32
+                # metres through the (bandwidth-limited) tunnel; the device
+                # converts back (see _frame_inputs). 0.5 mm quantisation is
+                # below every sensor's noise floor.
+                deps = _np.clip(deps * 1000.0, 0, 65535).astype(_np.uint16)
             if self.cfg.upload_yuv420 and frames[0].rgb.dtype == _np.uint8:
                 packed = [_pack_yuv420(f.rgb) for f in frames]
                 out = jax.device_put(
@@ -719,6 +737,8 @@ class MultiMotionFusionTPU:
 
         def _put():
             depth = frame.depth
+            if self.cfg.upload_depth_mm and depth.dtype == np.float32:
+                depth = np.clip(depth * 1000.0, 0, 65535).astype(np.uint16)
             if self.cfg.upload_yuv420 and frame.rgb.dtype == np.uint8:
                 y, uv = _pack_yuv420(frame.rgb)
                 arrs = [y, depth, uv]

@@ -592,6 +592,7 @@ def multi_frame_step(
     cleaned0 = fusion.clean(
         fused0, im0, depth_filt, mask, 0, new_pose0, cam,
         time, scfg.time_delta, scfg.conf_threshold, scfg, attrs=attrs0,
+        compact=True,
     )
     if cfg.reloc_mode:
         # global fusion is skipped while lost (MultiMotionFusion.cpp:791)
@@ -628,7 +629,7 @@ def multi_frame_step(
         cleaned = fusion.clean(
             fused, im, depth_filt, mask, mask_id, pose, cam,
             time, scfg.time_delta, scfg.object_conf_threshold, scfg,
-            attrs=attrs,
+            attrs=attrs, compact=True,
         )
         pred = rasterize.splat_resolve(
             im, cam, scfg.object_conf_threshold, time, time, scfg.time_delta,

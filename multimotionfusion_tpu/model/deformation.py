@@ -178,8 +178,9 @@ def optimise(
             lambda p: _residuals(p, graph, cons_src, cons_dst, cons_valid,
                                  cons_times, cfg)
         )(params).reshape(r.shape[0], -1)
-        JtJ = J.T @ J + 1e-6 * jnp.eye(J.shape[1])
-        delta = jnp.linalg.solve(JtJ, -(J.T @ r))
+        hi = jax.lax.Precision.HIGHEST
+        JtJ = jnp.matmul(J.T, J, precision=hi) + 1e-6 * jnp.eye(J.shape[1])
+        delta = jnp.linalg.solve(JtJ, -jnp.matmul(J.T, r, precision=hi))
         return params + delta.reshape(n, 12), None
 
     params0 = jnp.concatenate(

@@ -160,9 +160,14 @@ def fuse(
     # selection dot into one gather PER CHANNEL (~0.8 ms each at 76800
     # indices) — the exact lowering this MXU construction exists to avoid
     sel = jax.lax.optimization_barrier(sel)
+    # Precision.HIGHEST is LOAD-BEARING: the default TPU matmul precision is
+    # bf16, which has only ~2.3k distinct representable values below 2^17 —
+    # the extracted surfel ids would collapse onto those values, silently
+    # misdirecting ~97% of merges (and corrupting extracted positions/depths).
     cb_all = jax.lax.dot_general(
         rows.reshape(-1, w), sel, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ).reshape(stack.shape[0], hc, wc)
 
     merging = (cb_all[0] > 0.5).reshape(n_cb)
@@ -245,6 +250,7 @@ def clean(
     conf_threshold,
     cfg: SurfelConfig,
     attrs: jnp.ndarray | None = None,  # gather_attr_images(index_map) if cached
+    compact: bool = False,
 ) -> sm.SurfelMap:
     """Outlier cull + redundancy cull + compaction (copy_unstable.vert).
 
@@ -352,6 +358,16 @@ def clean(
     )
 
     data = smap.data.at[sm.CONF].mul(pen_per_surfel)
+    if compact:
+        # repack survivors to the front EVERY frame (the reference streams +
+        # repacks its whole VBO per frame via transform feedback,
+        # copy_unstable.geom). Without this the high-water mark grows with
+        # every fuse append (~10k/frame measured) even though the live
+        # population is stable — dragging the work bucket (and every
+        # scatter/transform over it) upward without bound. One extra
+        # [C, bucket] scatter per frame buys a 4x smaller steady-state bucket.
+        packed, new_count = sm.compact(data, keep, cap)
+        return sm.SurfelMap(data=packed, count=new_count)
     # cull = clear the ALIVE flag (elementwise); storage is repacked only by
     # the occasional maintenance compaction (compact_map), not every frame
     data = data.at[sm.ALIVE].set(jnp.where(keep, data[sm.ALIVE], 0.0))

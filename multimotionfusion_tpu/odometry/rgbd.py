@@ -337,7 +337,8 @@ def icp_system(
     n_cp = n_cp / jnp.maximum(nprev_norm, 1e-12)
     in_bounds = vprev_ok & nprev_ok & (z > 0) & v_valid
 
-    nc_cp = jnp.einsum("ij,hwj->hwi", Ri, nmap_curr)
+    nc_cp = jnp.einsum("ij,hwj->hwi", Ri, nmap_curr,
+                       precision=jax.lax.Precision.HIGHEST)
     dist = jnp.linalg.norm(d_cp - vcp, axis=-1)
     sine = jnp.linalg.norm(jnp.cross(nc_cp, n_cp), axis=-1)
 
@@ -725,7 +726,8 @@ def get_incremental_transformation(
         vmap_curr, nmap_curr, img_next, didx, didy, static_valid, v_valid = px
         Rt_inv = se3.inverse_T(result_Rt)
         Ri, ti = Rt_inv[:3, :3], Rt_inv[:3, 3]
-        vcp = jnp.einsum("ij,hwj->hwi", Ri, vmap_curr) + ti
+        vcp = jnp.einsum("ij,hwj->hwi", Ri, vmap_curr,
+                         precision=jax.lax.Precision.HIGHEST) + ti
         z = vcp[..., 2]
         safe_z = jnp.where(z != 0, z, 1.0)
         # sub-pixel projective warp: bilinear (validity-gated) instead of

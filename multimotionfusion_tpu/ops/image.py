@@ -67,9 +67,12 @@ def decimate2(img: jnp.ndarray) -> jnp.ndarray:
         == 2 * jax.lax.broadcasted_iota(jnp.int32, (w, w // 2), 1)
     ).astype(calc)
     sel = jax.lax.optimization_barrier(sel)
+    # HIGHEST: default TPU matmul precision is bf16, which would round the
+    # selected VALUES (ids, depths) — the selection must be exact
     out = jax.lax.dot_general(
         rows.astype(calc).reshape(-1, w), sel, (((1,), (0,)), ((), ())),
         preferred_element_type=calc,
+        precision=jax.lax.Precision.HIGHEST,
     ).reshape(rows.shape[:-1] + (w // 2,))
     return out.astype(dt)
 

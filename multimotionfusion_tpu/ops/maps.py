@@ -14,6 +14,7 @@ Conventions (differ from reference deliberately):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from multimotionfusion_tpu.config import CameraModel
@@ -83,8 +84,9 @@ def transform_maps(vmap: jnp.ndarray, nmap: jnp.ndarray, T: jnp.ndarray):
     t = T[:3, 3]
     v_valid = vmap[..., 2:3] > 0
     n_valid = jnp.sum(nmap * nmap, axis=-1, keepdims=True) > 0
-    v_out = jnp.einsum("ij,hwj->hwi", R, vmap) + t
-    n_out = jnp.einsum("ij,hwj->hwi", R, nmap)
+    hi = jax.lax.Precision.HIGHEST  # geometry must not round through bf16
+    v_out = jnp.einsum("ij,hwj->hwi", R, vmap, precision=hi) + t
+    n_out = jnp.einsum("ij,hwj->hwi", R, nmap, precision=hi)
     return jnp.where(v_valid, v_out, 0.0), jnp.where(n_valid, n_out, 0.0)
 
 

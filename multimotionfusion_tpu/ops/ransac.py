@@ -50,7 +50,7 @@ def kabsch_fit(p0: jnp.ndarray, p1: jnp.ndarray, weights: jnp.ndarray) -> jnp.nd
     q0 = (p0 - p0m) * w[:, None]
     q1 = p1 - p1m
     # cross-covariance (reference: A = ((p1-p1m)^T (p0-p0m))^T = (p0-p0m)^T (p1-p0m))
-    A = q0.T @ q1  # [3,3]
+    A = jnp.matmul(q0.T, q1, precision=jax.lax.Precision.HIGHEST)  # [3,3]
     U, _, Vt = jnp.linalg.svd(A)
     d = jnp.linalg.det(U) * jnp.linalg.det(Vt)
     S = jnp.diag(jnp.array([1.0, 1.0, 1.0], dtype=p0.dtype)).at[2, 2].set(d)
@@ -62,7 +62,8 @@ def kabsch_fit(p0: jnp.ndarray, p1: jnp.ndarray, weights: jnp.ndarray) -> jnp.nd
 
 def residual_norms(T: jnp.ndarray, p0: jnp.ndarray, p1: jnp.ndarray) -> jnp.ndarray:
     """||p0_i - T @ p1_i|| per correspondence (RigidRANSAC.cpp apply())."""
-    p1t = p1 @ T[:3, :3].T + T[:3, 3]
+    p1t = jnp.matmul(p1, T[:3, :3].T,
+                     precision=jax.lax.Precision.HIGHEST) + T[:3, 3]
     return jnp.linalg.norm(p0 - p1t, axis=-1)
 
 
@@ -99,7 +100,8 @@ def ransac_fit(
     T_cand = jax.vmap(fit_minimal)(idx)  # [C, 4, 4]
 
     # distances of every point under every candidate: [C, N]
-    p1t = jnp.einsum("cij,nj->cni", T_cand[:, :3, :3], p1) + T_cand[:, None, :3, 3]
+    p1t = jnp.einsum("cij,nj->cni", T_cand[:, :3, :3], p1,
+                     precision=jax.lax.Precision.HIGHEST) + T_cand[:, None, :3, 3]
     dist = jnp.linalg.norm(p0[None] - p1t, axis=-1)
     inl = (dist < cfg.inlier_threshold) & valid[None, :]  # [C, N]
     n_inl = jnp.sum(inl.astype(jnp.int32), axis=1)  # [C]
@@ -111,7 +113,8 @@ def ransac_fit(
 
     # refit every candidate on its inliers (cheap: batched 3x3 SVD again)
     T_refit = jax.vmap(kabsch_fit, in_axes=(None, None, 0))(p0, p1, inl)
-    p1t2 = jnp.einsum("cij,nj->cni", T_refit[:, :3, :3], p1) + T_refit[:, None, :3, 3]
+    p1t2 = jnp.einsum("cij,nj->cni", T_refit[:, :3, :3], p1,
+                      precision=jax.lax.Precision.HIGHEST) + T_refit[:, None, :3, 3]
     dist2 = jnp.linalg.norm(p0[None] - p1t2, axis=-1)
     mean_err = jnp.sum(jnp.where(inl, dist2, 0.0), axis=1) / jnp.maximum(
         n_inl.astype(p0.dtype), 1.0

@@ -92,8 +92,12 @@ _KEY_INVALID = jnp.int32(2**31 - 1)
 
 
 def _pack_depth_id(z, ids, valid):
+    # top bin reserved (clip to _ZQ_LEVELS - 2): geometry beyond 16 m would
+    # otherwise all collapse into one bin where the max (zq, id) pair equals
+    # _KEY_INVALID, making that surfel unable to win any pixel (viewer paths
+    # render with max_depth up to 50 m)
     zq = (jnp.log2(jnp.maximum(z, 1e-6)) + 4.0) * (_ZQ_LEVELS / 8.0)
-    zq = jnp.clip(zq.astype(jnp.int32), 0, _ZQ_LEVELS - 1)
+    zq = jnp.clip(zq.astype(jnp.int32), 0, _ZQ_LEVELS - 2)
     return jnp.where(valid, (zq << _ID_BITS) | ids, _KEY_INVALID)
 
 

@@ -76,7 +76,10 @@ def _superpixel_crf(unary, feat_xyrgbd, q_iters):
 
     q = jax.nn.softmax(-unary, axis=-1)
     for _ in range(q_iters):
-        msg = WEIGHT_SMOOTHNESS * (k_smooth @ q) + WEIGHT_APPEARANCE * (k_app @ q)
+        hi = jax.lax.Precision.HIGHEST
+        msg = WEIGHT_SMOOTHNESS * jnp.matmul(
+            k_smooth, q, precision=hi
+        ) + WEIGHT_APPEARANCE * jnp.matmul(k_app, q, precision=hi)
         pairwise = jnp.sum(msg, axis=-1, keepdims=True) - msg  # Potts
         q = jax.nn.softmax(-unary - pairwise, axis=-1)
     return q

@@ -94,7 +94,8 @@ def mutual_match(
     """
     d2 = (
         jnp.sum(q_desc * q_desc, -1)[:, None]
-        - 2.0 * (q_desc @ t_desc.T)
+        - 2.0 * jnp.matmul(q_desc, t_desc.T,
+                           precision=jax.lax.Precision.HIGHEST)
         + jnp.sum(t_desc * t_desc, -1)[None, :]
     )
     big = jnp.float32(1e30)

@@ -92,7 +92,12 @@ def test_control_server_roundtrip():
         )
         assert r["ok"] and not engine.cfg.enable_model_spawning
         r = control.send_command({"cmd": "reset"}, port=srv.port)
-        assert r["ok"] and engine.tick == 1
+        # state-mutating commands are queued; the frame loop applies them
+        # between steps (see ControlServer.apply_pending)
+        assert r["ok"] and r.get("queued")
+        assert engine.tick != 1  # not yet applied
+        srv.apply_pending()
+        assert engine.tick == 1
         r = control.send_command({"cmd": "bogus"}, port=srv.port)
         assert not r["ok"]
     finally:

@@ -189,3 +189,55 @@ def test_fill_in_passthrough_and_holes():
     np.testing.assert_allclose(
         np.asarray(filled.vertex_conf[..., :3]), np.asarray(vmap)
     )
+
+
+def test_scatter_unique_indices_matches_safe_path():
+    """fuse/append/compact promise unique_indices while their dst arrays hold
+    MANY duplicated out-of-bounds sentinels (dropped by mode='drop'); pin that
+    the optimised scatter equals the duplicate-safe path (ADVICE r1)."""
+    rng = np.random.default_rng(7)
+    cap = 512
+    n = 2048
+    data = jnp.asarray(rng.normal(size=(16, cap)).astype(np.float32))
+    vals = jnp.asarray(rng.normal(size=(16, n)).astype(np.float32))
+    idx = np.full((n,), cap, np.int32)  # duplicated OOB sentinel
+    uniq = rng.choice(cap, size=300, replace=False).astype(np.int32)
+    idx[:300] = uniq
+    dst = jnp.asarray(idx)
+    fast = data.at[:, dst].set(vals, mode="drop", unique_indices=True)
+    safe = data.at[:, dst].set(vals, mode="drop", unique_indices=False)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(safe))
+
+
+def test_clean_compact_matches_flag_clear():
+    """clean(compact=True) keeps exactly the surfels clean(compact=False)
+    leaves alive, repacked densely with count == alive population."""
+    fs1, depth, rgb, vmap, nmap = _frame(time=1)
+    smap = sm.init_from_frame(fs1, CFG.max_surfels)
+    im = rasterize.predict_indices(
+        smap, jnp.eye(4), CAM, time=25, time_delta=200, max_depth=CFG.depth_cutoff
+    )
+    mask = jnp.zeros((CAM.height, CAM.width), jnp.int32)
+    kw = dict(time=25, time_delta=200, conf_threshold=10.0, cfg=CFG)
+    flagged = fusion.clean(smap, im, depth, mask, 0, jnp.eye(4), CAM, **kw)
+    packed = fusion.clean(
+        smap, im, depth, mask, 0, jnp.eye(4), CAM, compact=True, **kw
+    )
+    assert int(packed.count) == int(flagged.alive_count())
+    assert int(packed.alive_count()) == int(flagged.alive_count())
+    # survivors carry identical attributes (order-preserving repack)
+    fa = np.asarray(flagged.data)[:, np.asarray(flagged.alive_mask())]
+    pa = np.asarray(packed.data)[:, : int(packed.count)]
+    np.testing.assert_array_equal(fa, pa)
+
+
+def test_default_matmul_precision_pinned():
+    """Importing the package must pin f32 matmuls to HIGHEST: TPU's default
+    bf16 matmul precision corrupts one-hot id-selection matmuls (~2.3k
+    representable values below 2^17 misdirected 97% of fusion merges) and
+    compounds pose-composition error every frame."""
+    import jax
+
+    import multimotionfusion_tpu  # noqa: F401
+
+    assert jax.config.jax_default_matmul_precision == "highest"
