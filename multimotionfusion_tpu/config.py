@@ -127,6 +127,14 @@ class SurfelConfig:
     outlier_coeff: float = 4.0
     unstable_grace: int = 20  # frames an unstable surfel has to reach confThreshold
     clean_see_through_gate: float = 0.03  # m, copy_unstable.vert "violation" gate
+    # Repack surviving surfels to the front every N frames (0 = never, 1 =
+    # every frame like the reference's per-frame transform-feedback repack,
+    # copy_unstable.geom). The repack is a [CHANNELS, bucket] scatter —
+    # ~19 ms at a 393k bucket on TPU v5e, vs ~5 ms for the flag-clear cull —
+    # so amortising it over N frames buys most of the bounded-bucket benefit
+    # at 1/N of the cost; between repacks culled surfels just lose their
+    # ALIVE flag and the high-water mark carries ~N*append_rate transient.
+    compact_every: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

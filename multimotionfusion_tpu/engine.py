@@ -220,6 +220,16 @@ def _init_step(rgb_u8, depth_raw, pose0, time, sp_params, cam: CameraModel, cfg:
     ), stats
 
 
+def _compact_pred(time, scfg):
+    """Periodic-repack predicate for fusion.clean (see SurfelConfig.compact_every)."""
+    k = scfg.compact_every
+    if k <= 0:
+        return False
+    if k == 1:
+        return True
+    return jnp.asarray(time, jnp.int32) % k == 0
+
+
 def _frame_core(
     state: GlobalState,
     rgb_u8,
@@ -354,7 +364,7 @@ def _frame_core(
     cleaned = fusion.clean(
         fused, im, depth_filt, mask, 0, pose, cam,
         time, scfg.time_delta, scfg.conf_threshold, scfg, attrs=attrs,
-        compact=True,
+        compact=_compact_pred(time, scfg),
     )
     if cfg.reloc_mode:
         # fusion is skipped while lost (MultiMotionFusion.cpp:791)

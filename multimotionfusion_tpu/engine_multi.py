@@ -199,7 +199,9 @@ def multi_frame_step(
 ):
     """One jitted multi-model frame (tick > 1): track all models, segment,
     spawn/deactivate, fuse, predict."""
-    from multimotionfusion_tpu.engine import _detect_keypoints, _frame_inputs
+    from multimotionfusion_tpu.engine import (
+        _compact_pred, _detect_keypoints, _frame_inputs,
+    )
 
     scfg = cfg.surfels
     n_slots = state.objects.num_slots
@@ -592,7 +594,7 @@ def multi_frame_step(
     cleaned0 = fusion.clean(
         fused0, im0, depth_filt, mask, 0, new_pose0, cam,
         time, scfg.time_delta, scfg.conf_threshold, scfg, attrs=attrs0,
-        compact=True,
+        compact=_compact_pred(time, scfg),
     )
     if cfg.reloc_mode:
         # global fusion is skipped while lost (MultiMotionFusion.cpp:791)
@@ -629,7 +631,7 @@ def multi_frame_step(
         cleaned = fusion.clean(
             fused, im, depth_filt, mask, mask_id, pose, cam,
             time, scfg.time_delta, scfg.object_conf_threshold, scfg,
-            attrs=attrs, compact=True,
+            attrs=attrs, compact=_compact_pred(time, scfg),
         )
         pred = rasterize.splat_resolve(
             im, cam, scfg.object_conf_threshold, time, time, scfg.time_delta,

@@ -250,7 +250,7 @@ def clean(
     conf_threshold,
     cfg: SurfelConfig,
     attrs: jnp.ndarray | None = None,  # gather_attr_images(index_map) if cached
-    compact: bool = False,
+    compact: bool | jnp.ndarray = False,  # static, or traced periodic predicate
 ) -> sm.SurfelMap:
     """Outlier cull + redundancy cull + compaction (copy_unstable.vert).
 
@@ -358,20 +358,29 @@ def clean(
     )
 
     data = smap.data.at[sm.CONF].mul(pen_per_surfel)
-    if compact:
-        # repack survivors to the front EVERY frame (the reference streams +
-        # repacks its whole VBO per frame via transform feedback,
-        # copy_unstable.geom). Without this the high-water mark grows with
-        # every fuse append (~10k/frame measured) even though the live
-        # population is stable — dragging the work bucket (and every
-        # scatter/transform over it) upward without bound. One extra
-        # [C, bucket] scatter per frame buys a 4x smaller steady-state bucket.
-        packed, new_count = sm.compact(data, keep, cap)
+
+    def _packed(d):
+        packed, new_count = sm.compact(d, keep, cap)
         return sm.SurfelMap(data=packed, count=new_count)
-    # cull = clear the ALIVE flag (elementwise); storage is repacked only by
-    # the occasional maintenance compaction (compact_map), not every frame
-    data = data.at[sm.ALIVE].set(jnp.where(keep, data[sm.ALIVE], 0.0))
-    return sm.SurfelMap(data=data, count=smap.count)
+
+    def _flagged(d):
+        # cull = clear the ALIVE flag (elementwise, ~4x cheaper than the
+        # repack); the high-water mark keeps the culled slots until the next
+        # periodic compaction reclaims them
+        d = d.at[sm.ALIVE].set(jnp.where(keep, d[sm.ALIVE], 0.0))
+        return sm.SurfelMap(data=d, count=smap.count)
+
+    # ``compact`` may be a static bool or a traced predicate (the engine
+    # passes time % compact_every == 0): repacking survivors to the front
+    # keeps the work bucket tracking the LIVE population instead of the
+    # append high-water mark (~10k appends/frame measured), but the repack
+    # is a [CHANNELS, bucket] scatter (~19 ms at 393k bucket) — far too hot
+    # for every frame, so it runs on a period (SurfelConfig.compact_every).
+    # The reference repacks its whole VBO every frame via transform feedback
+    # (copy_unstable.geom) — free on a rasteriser, not on a TPU.
+    if isinstance(compact, bool):
+        return _packed(data) if compact else _flagged(data)
+    return jax.lax.cond(compact, _packed, _flagged, data)
 
 
 def compact_map(smap: sm.SurfelMap) -> sm.SurfelMap:
