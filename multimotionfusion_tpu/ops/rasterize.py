@@ -238,8 +238,15 @@ def splat_resolve(
     if attrs is None:
         attrs = gather_attr_images(data_local, centre_idx)  # [CHANNELS, H, W]
 
+    # the resolve CARRIES the winning candidate's attributes through the tap
+    # loop (a handful of per-tap selects on the VPU) instead of re-gathering
+    # them by best_idx afterwards — the [H*W, C] winner gather costs ~1.4 ms
+    # at 640x480 on TPU while the selects fuse into the existing tap loop
+    _WIN_CH = (sm.CR, sm.CG, sm.CB, sm.CONF, sm.NX, sm.NY, sm.NZ, sm.RADIUS,
+               sm.INIT_T)
     best_z = jnp.full((h, w), _BIG)
     best_idx = jnp.full((h, w), INVALID)
+    best_att = [jnp.zeros((h, w), jnp.float32) for _ in _WIN_CH]
     r = window // 2
     for dy in range(-r, window - r):
         for dx in range(-r, window - r):
@@ -275,9 +282,13 @@ def splat_resolve(
             closer = hit & (hz < best_z)
             best_z = jnp.where(closer, hz, best_z)
             best_idx = jnp.where(closer, cand, best_idx)
+            best_att = [
+                jnp.where(closer, cdat[ch], acc)
+                for ch, acc in zip(_WIN_CH, best_att)
+            ]
 
     valid = best_idx >= 0
-    win = gather_attr_images(data_local, best_idx)  # one gather for the winners
+    win = dict(zip(_WIN_CH, best_att))
 
     def g(ch):
         return jnp.where(valid, win[ch], 0.0)
