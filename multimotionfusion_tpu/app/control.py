@@ -1,9 +1,12 @@
 """Runtime control channel: TCP JSON-lines server over the engine.
 
 ROS-free counterpart of the reference's runtime control surface
-(GUI/Tools/RosInterface.cpp:5-37 services + RosStatePublisher status topic):
-every service maps to one JSON command. Protocol: one JSON object per line in,
-one JSON object per line out.
+(GUI/Tools/RosInterface.cpp:5-37 services) AND its state publisher
+(GUI/Tools/RosStatePublisher.cpp:71-120: segmentation image, per-model
+pointclouds, camera/object poses, status string): every service maps to one
+JSON command; every published topic maps to a pull command or, for events,
+a push subscription. Protocol: one JSON object per line in, one JSON object
+per line out.
 
     {"cmd": "stats"}                         -> {"ok": true, "stats": {...}}
     {"cmd": "reset"}                         -> {"ok": true}
@@ -14,6 +17,18 @@ one JSON object per line out.
     {"cmd": "inhibit_new_models", "inhibit": true}
     {"cmd": "deactivate_model", "id": 2}
     {"cmd": "status"}                        -> {"ok": true, "status": "..."}
+
+State publishing (RosStatePublisher parity):
+
+    {"cmd": "get_pose"}                      -> camera pose, 4x4 row-major
+    {"cmd": "get_object_poses"}              -> per-slot poses + active mask
+    {"cmd": "get_segmentation"}              -> latest mask, PNG base64
+    {"cmd": "get_view", "kind": "color"}     -> predicted color/depth/normal PNG
+    {"cmd": "get_pointcloud", "id": 0, "max_points": 65536}
+        -> base64 float32 [N, 6] xyz+rgb rows of model <id>'s live surfels
+    {"cmd": "subscribe"}                     -> switches this connection into
+        a push stream of model lifecycle events (new_model/inactive_model,
+        reference Core/Callbacks.h) and periodic status lines
 
 The server runs on a daemon thread. Commands that only swap host-side control
 state (config swaps, pause flag) apply immediately; commands that MUTATE
@@ -26,11 +41,27 @@ reference's mutex-guarded configs (MultiMotionFusion.h:368, Segmentation.h:162).
 
 from __future__ import annotations
 
+import base64
 import json
 import queue
 import socket
 import threading
 from typing import Optional
+
+import numpy as np
+
+
+def _png_b64(img: np.ndarray) -> str:
+    """Encode an image (u8 grayscale or RGB) as base64 PNG."""
+    import cv2
+
+    img = np.asarray(img)
+    if img.ndim == 3:
+        img = img[..., ::-1]  # RGB -> BGR for cv2
+    ok, buf = cv2.imencode(".png", img)
+    if not ok:
+        raise RuntimeError("png encode failed")
+    return base64.b64encode(buf.tobytes()).decode("ascii")
 
 
 class ControlServer:
@@ -39,6 +70,12 @@ class ControlServer:
         self.paused = False
         self.stop_requested = False
         self._pending: queue.Queue = queue.Queue()
+        self._subs: list = []  # per-subscriber event queues
+        # fan lifecycle events out to subscribed connections (the reference
+        # wires RosStatePublisher into Core's CallbackBuffers the same way)
+        if hasattr(engine, "add_model_listener"):
+            for ev in ("new_model", "inactive_model"):
+                engine.add_model_listener(ev, self._publish_event)
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._sock.bind((host, port))
@@ -58,17 +95,54 @@ class ControlServer:
             ).start()
 
     def _handle(self, conn: socket.socket):
+        try:
+            self._handle_conn(conn)
+        except (OSError, ValueError):
+            pass  # client hung up mid-write / socket already closed
+
+    def _handle_conn(self, conn: socket.socket):
         with conn, conn.makefile("rw") as f:
             for line in f:
                 line = line.strip()
                 if not line:
                     continue
                 try:
-                    reply = self._dispatch(json.loads(line))
+                    msg = json.loads(line)
+                    if msg.get("cmd") == "subscribe":
+                        f.write(json.dumps({"ok": True, "subscribed": True})
+                                + "\n")
+                        f.flush()
+                        self._stream(f)  # blocks until the client hangs up
+                        return
+                    reply = self._dispatch(msg)
                 except Exception as e:  # noqa: BLE001 - report to client
                     reply = {"ok": False, "error": str(e)}
                 f.write(json.dumps(reply) + "\n")
                 f.flush()
+
+    def _publish_event(self, ev: dict):
+        for q in list(self._subs):
+            q.put({"type": "event", **ev})
+
+    def _stream(self, f):
+        """Push lifecycle events + periodic status to one subscriber
+        (RosStatePublisher's status topic + Callbacks.h event surface)."""
+        q: queue.Queue = queue.Queue()
+        self._subs.append(q)
+        try:
+            while True:
+                try:
+                    item = q.get(timeout=2.0)
+                except queue.Empty:
+                    item = {"type": "status",
+                            **self._dispatch({"cmd": "status"})}
+                    item.pop("ok", None)
+                f.write(json.dumps(item) + "\n")
+                f.flush()
+        except (OSError, ValueError):
+            pass  # client hung up
+        finally:
+            self._subs.remove(q)
 
     def _dispatch(self, msg: dict) -> dict:
         cmd = msg.get("cmd", "")
@@ -109,10 +183,118 @@ class ControlServer:
         if cmd == "deactivate_model":
             self._pending.put(("deactivate_model", int(msg.get("id", -1))))
             return {"ok": True, "queued": True}
+        # ---- state publishing (GUI/Tools/RosStatePublisher.cpp:71-120) ----
+        if cmd == "get_pose":
+            if e.state is None:
+                return {"ok": False, "error": "no frames processed yet"}
+            return {
+                "ok": True,
+                "tick": e.tick,
+                "pose": np.asarray(e.state.pose, np.float64).tolist(),
+            }
+        if cmd == "get_object_poses":
+            if not e._obj_pose_dev:
+                return {"ok": True, "poses": [], "active": [], "timestamp": None}
+            ts, poses, active = e._obj_pose_dev[-1]
+            cam = np.asarray(e.state.pose, np.float64)
+            slot = np.asarray(poses, np.float64)
+            # world-frame object pose = cam_pose @ inv(slot_pose)
+            # (Model::getPose composition; same math as store_models)
+            world = [
+                (cam @ np.linalg.inv(slot[k])).tolist()
+                for k in range(slot.shape[0])
+            ]
+            return {
+                "ok": True,
+                "timestamp": ts,
+                "poses": world,
+                "active": np.asarray(active).astype(bool).tolist(),
+            }
+        if cmd == "get_segmentation":
+            if e.last_mask is None:
+                return {"ok": False, "error": "no segmentation yet"}
+            m = np.asarray(e.last_mask)
+            if msg.get("colorize"):
+                from multimotionfusion_tpu.app import viewer
+
+                img = viewer.colorize_labels(m)
+            else:
+                img = m.astype(np.uint8)
+            return {"ok": True, "png": _png_b64(img), "shape": list(m.shape)}
+        if cmd == "get_view":
+            if e.state is None:
+                return {"ok": False, "error": "no frames processed yet"}
+            from multimotionfusion_tpu.app import viewer
+
+            kind = msg.get("kind", "color")
+            view = viewer.render_view(
+                e.state.smap, np.asarray(e.state.pose), e.cam,
+                conf_threshold=e.cfg.surfels.conf_threshold,
+                time=e.tick, time_delta=e.time_delta,
+                max_depth=e.cfg.surfels.depth_cutoff,
+            )
+            if kind == "depth":
+                img = viewer.depth_norm(view["depth"], e.cfg.surfels.depth_cutoff)
+            elif kind in ("color", "normal"):
+                img = view[kind]
+            else:
+                return {"ok": False, "error": f"unknown view kind '{kind}'"}
+            return {"ok": True, "png": _png_b64(img)}
+        if cmd == "get_pointcloud":
+            return self._pointcloud(int(msg.get("id", 0)),
+                                    int(msg.get("max_points", 65536)))
         return {"ok": False, "error": f"unknown cmd '{cmd}'"}
 
+    def _pointcloud(self, model_id: int, max_points: int) -> dict:
+        """xyz+rgb rows of one model's live surfels (the reference publishes
+        these per model as sensor_msgs/PointCloud2,
+        RosStatePublisher.cpp:71-120)."""
+        from multimotionfusion_tpu.model import surfel_map as sm
+
+        e = self.engine
+        if model_id == 0:
+            if e.state is None:
+                return {"ok": False, "error": "no frames processed yet"}
+            d = e.global_model.download()
+            pos, col = d["position"], d["color"]
+        else:
+            if e.mstate is None:
+                return {"ok": False, "error": "multi-model mode not active"}
+            k = model_id - 1
+            obj = e.mstate.objects
+            if not (0 <= k < obj.data.shape[0]):
+                return {"ok": False, "error": f"no model id {model_id}"}
+            d = np.asarray(obj.data[k])
+            alive = d[sm.ALIVE] > 0
+            pos = d[sm.POS].T[alive]
+            col = d[sm.COLOR].T[alive]
+        n = pos.shape[0]
+        if n > max_points > 0:
+            idx = np.linspace(0, n - 1, max_points).astype(np.int64)
+            pos, col = pos[idx], col[idx]
+        rows = np.concatenate(
+            [pos.astype(np.float32), col.astype(np.float32)], axis=1
+        )
+        return {
+            "ok": True,
+            "count": int(rows.shape[0]),
+            "total": int(n),
+            "dtype": "<f4",
+            "columns": ["x", "y", "z", "r", "g", "b"],
+            "data": base64.b64encode(np.ascontiguousarray(rows).tobytes())
+            .decode("ascii"),
+        }
+
     def apply_pending(self):
-        """Apply queued state-mutating commands; call between frame steps."""
+        """Apply queued state-mutating commands; call between frame steps.
+        Also resolves lifecycle events (drain_events fires the listeners that
+        feed subscribed connections) — but only when someone is listening, so
+        the sync-free frame loop stays sync-free otherwise."""
+        if self._subs and hasattr(self.engine, "drain_events"):
+            try:
+                self.engine.drain_events()
+            except Exception:  # noqa: BLE001 - never kill the frame loop
+                pass
         while True:
             try:
                 cmd, arg = self._pending.get_nowait()

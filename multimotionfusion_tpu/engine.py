@@ -529,6 +529,12 @@ class MultiMotionFusionTPU:
         self._last_args = None  # (kind, frame arrays) for bucket prewarming
         self._prewarmed: set = set()  # bucket rungs already compiled ahead
         self.last_mask = None  # latest segmentation (device; '-es' export)
+        # model lifecycle listener registry (reference Core/Callbacks.h
+        # CallbackBuffer; addNewModelListener/addInactiveModelListener,
+        # MultiMotionFusion.h:300-303)
+        self._listeners: Dict[str, list] = {}
+        self._event_cursor = 0  # next _obj_pose_dev entry to resolve
+        self._active_last: Optional[np.ndarray] = None
 
     @property
     def global_model(self) -> Model:
@@ -884,6 +890,58 @@ class MultiMotionFusionTPU:
         sw.send_all()
         return self.current_stats(sync=False)
 
+    # -- model lifecycle events (reference Core/Callbacks.h) ----------------
+
+    def add_model_listener(self, event: str, fn):
+        """Register a listener for "new_model" / "inactive_model" events
+        (== CallbackBuffer::addListener; used by the reference's GUI and
+        RosStatePublisher, MultiMotionFusion.h:300-303). The callback
+        receives a dict {event, timestamp, id, redetected?}."""
+        assert event in ("new_model", "inactive_model")
+        self._listeners.setdefault(event, []).append(fn)
+
+    def drain_events(self) -> List[Dict]:
+        """Resolve lifecycle events since the last drain and fire listeners.
+
+        Events are derived from the device-side lifecycle logs the multi-model
+        step already records (spawn flag + per-slot active masks), so the
+        frame loop stays sync-free until someone actually asks for events.
+        """
+        events: List[Dict] = []
+        log = self._obj_pose_dev
+        while self._event_cursor < len(log):
+            i = self._event_cursor
+            ts, _, active = log[i]
+            act = np.asarray(active)
+            spawned_slot = -1
+            if i < len(self._spawn_dev):
+                _, sp, sl, _ = self._spawn_dev[i]
+                if bool(np.asarray(sp)):
+                    spawned_slot = int(np.asarray(sl))
+            prev = self._active_last
+            if prev is not None:
+                for k in np.nonzero(act & ~prev)[0]:
+                    events.append({
+                        "event": "new_model",
+                        "timestamp": ts,
+                        "id": int(k) + 1,
+                        # active without a spawn flag = a stored model was
+                        # re-attached by redetection (getBestMatch path)
+                        "redetected": int(k) != spawned_slot,
+                    })
+                for k in np.nonzero(prev & ~act)[0]:
+                    events.append({
+                        "event": "inactive_model",
+                        "timestamp": ts,
+                        "id": int(k) + 1,
+                    })
+            self._active_last = act
+            self._event_cursor += 1
+        for ev in events:
+            for fn in self._listeners.get(ev["event"], []):
+                fn(ev)
+        return events
+
     def pose_matches(self) -> List[Dict]:
         """Loop-closure PoseMatch records (reference Core/PoseMatch.h), newest
         last; at most MatchLog.capacity retained."""
@@ -1009,6 +1067,11 @@ class MultiMotionFusionTPU:
         ]
         self._spawn_dev = list(blob.get("spawn_log", []))
         self._stats_dev.clear()
+        # don't replay pre-checkpoint lifecycle events to fresh listeners
+        self._event_cursor = len(self._obj_pose_dev)
+        self._active_last = (
+            np.asarray(self._obj_pose_dev[-1][2]) if self._obj_pose_dev else None
+        )
         self._hwm = blob["hwm"]
         self._hwm_tick = blob["hwm_tick"]
         self._growth_rate = blob["growth_rate"]
@@ -1108,6 +1171,8 @@ class MultiMotionFusionTPU:
         self._bucket = 0
         self._last_args = None
         self._prewarmed.clear()
+        self._event_cursor = 0
+        self._active_last = None
 
     def set_odom_init(self, mode: str):
         """Service 'set_odom_init' ('kp' | 'tf' | '')."""

@@ -102,3 +102,97 @@ def test_control_server_roundtrip():
         assert not r["ok"]
     finally:
         srv.close()
+
+
+def test_control_server_state_publishing():
+    """RosStatePublisher parity: pose/object-pose/segmentation/view/cloud
+    pulls (reference GUI/Tools/RosStatePublisher.cpp:71-120)."""
+    import base64
+
+    engine = _small_engine(2)
+    srv = control.ControlServer(engine, port=0)
+    try:
+        r = control.send_command({"cmd": "get_pose"}, port=srv.port)
+        assert r["ok"]
+        pose = np.asarray(r["pose"])
+        assert pose.shape == (4, 4)
+        assert np.allclose(pose[3], [0, 0, 0, 1])
+
+        r = control.send_command({"cmd": "get_object_poses"}, port=srv.port)
+        assert r["ok"] and r["poses"] == []  # single-model engine: no slots
+
+        r = control.send_command(
+            {"cmd": "get_view", "kind": "color"}, port=srv.port
+        )
+        assert r["ok"]
+        import cv2
+
+        png = base64.b64decode(r["png"])
+        img = cv2.imdecode(np.frombuffer(png, np.uint8), cv2.IMREAD_COLOR)
+        assert img.shape == (CAM.height, CAM.width, 3) and img.max() > 0
+
+        r = control.send_command(
+            {"cmd": "get_pointcloud", "id": 0, "max_points": 500},
+            port=srv.port,
+        )
+        assert r["ok"] and 0 < r["count"] <= 500 and r["total"] >= r["count"]
+        rows = np.frombuffer(
+            base64.b64decode(r["data"]), np.float32
+        ).reshape(r["count"], 6)
+        assert np.isfinite(rows).all()
+        assert rows[:, 2].max() > 0  # depth in front of the camera
+
+        # no segmentation in single-model mode -> graceful error
+        r = control.send_command({"cmd": "get_segmentation"}, port=srv.port)
+        assert not r["ok"]
+    finally:
+        srv.close()
+
+
+def test_control_server_subscribe_events():
+    """Event push: new_model/inactive_model stream (Core/Callbacks.h)."""
+    import json as _json
+    import socket as _socket
+
+    engine = _small_engine(2)
+    srv = control.ControlServer(engine, port=0)
+    try:
+        # synthesize a lifecycle transition like multi_frame_step records
+        engine._obj_pose_dev = [
+            (0.0, np.tile(np.eye(4, dtype=np.float32), (2, 1, 1)),
+             np.array([False, False])),
+            (1.0, np.tile(np.eye(4, dtype=np.float32), (2, 1, 1)),
+             np.array([True, False])),
+            (2.0, np.tile(np.eye(4, dtype=np.float32), (2, 1, 1)),
+             np.array([False, False])),
+        ]
+        with _socket.create_connection(("127.0.0.1", srv.port), timeout=5) as s:
+            with s.makefile("rw") as f:
+                f.write(_json.dumps({"cmd": "subscribe"}) + "\n")
+                f.flush()
+                hello = _json.loads(f.readline())
+                assert hello["ok"] and hello["subscribed"]
+                srv.apply_pending()  # frame loop resolves + fans out events
+                got = [_json.loads(f.readline()) for _ in range(2)]
+        events = [g for g in got if g["type"] == "event"]
+        assert [e["event"] for e in events] == ["new_model", "inactive_model"]
+        assert all(e["id"] == 1 for e in events)
+        assert events[0]["redetected"]  # active w/o spawn flag = redetection
+    finally:
+        srv.close()
+
+
+def test_engine_model_listeners():
+    """Direct listener registry parity (CallbackBuffer::addListener)."""
+    engine = _small_engine(2)
+    seen = []
+    engine.add_model_listener("new_model", lambda ev: seen.append(ev))
+    engine._obj_pose_dev = [
+        (0.0, np.tile(np.eye(4, dtype=np.float32), (1, 1, 1)),
+         np.array([False])),
+        (1.0, np.tile(np.eye(4, dtype=np.float32), (1, 1, 1)),
+         np.array([True])),
+    ]
+    evs = engine.drain_events()
+    assert len(evs) == 1 and seen == evs
+    assert engine.drain_events() == []  # cursor advanced; no replay
