@@ -23,19 +23,30 @@ def _lk_refine(prev: jnp.ndarray, nxt: jnp.ndarray, flow, iters: int, radius: in
     per pixel (the classic KLT window).
     """
     h, w = prev.shape
-    gx, gy = imops.sobel_gradients(prev)
-    gx = gx * (1.0 / 8.0)
-    gy = gy * (1.0 / 8.0)
+    # unit-gain central differences. NOT imops.sobel_gradients: those are the
+    # odometry-parity taps (gain 3.68, truncated to int16), and dividing them
+    # by 8 under-scales the gradient ~2.7x — in LK a gradient scale s makes
+    # every update 1/s too large, which is a DIVERGENT iteration (|1-1/s|>1)
+    # that the per-iteration clamps merely bound; flow came out several times
+    # the true motion. The inputs are pre-blurred, so central differences are
+    # well posed.
+    gx = 0.5 * (jnp.roll(prev, -1, axis=1) - jnp.roll(prev, 1, axis=1))
+    gy = 0.5 * (jnp.roll(prev, -1, axis=0) - jnp.roll(prev, 1, axis=0))
+    gx = gx.at[:, 0].set(0.0).at[:, -1].set(0.0)
+    gy = gy.at[0, :].set(0.0).at[-1, :].set(0.0)
 
     def box(x):
-        # separable box filter of (2r+1)^2 via cumulative shifts
-        acc = jnp.zeros_like(x)
-        for d in range(-radius, radius + 1):
-            acc = acc + jnp.roll(x, -d, axis=0)
-        out = jnp.zeros_like(x)
-        for d in range(-radius, radius + 1):
-            out = out + jnp.roll(acc, -d, axis=1)
-        return out
+        # separable zero-padded box filter of (2r+1)^2. NOT jnp.roll: roll
+        # wraps at borders, and on the small coarse pyramid levels the
+        # wrapped windows mix opposite image edges into the normal equations,
+        # which drives large spurious flow. Zero padding keeps border windows
+        # merely smaller — consistent between the structure tensor and the
+        # right-hand side, so the per-pixel solve stays well posed.
+        k = 2 * radius + 1
+        xp = jnp.pad(x, ((radius, radius), (0, 0)))
+        acc = sum(xp[d : d + h, :] for d in range(k))
+        accp = jnp.pad(acc, ((0, 0), (radius, radius)))
+        return sum(accp[:, d : d + w] for d in range(k))
 
     ixx = box(gx * gx)
     ixy = box(gx * gy)
@@ -73,6 +84,13 @@ def dense_flow(
     iters: int = 4,
 ) -> jnp.ndarray:
     """[H, W, 2] flow in pixels such that nxt(x + flow) ~ prev(x)."""
+    # pre-smooth the working level: LK's linearisation needs band-limited
+    # inputs (Farneback's polynomial expansion is implicitly low-pass; KLT
+    # implementations blur first). Without this, scene content near the pixel
+    # scale decorrelates the temporal difference and the flow field comes out
+    # several times larger than the true motion.
+    prev = imops.gaussian_blur(prev, 1.25, 3)
+    nxt = imops.gaussian_blur(nxt, 1.25, 3)
     pyr_p = imops.build_pyramid(prev, levels)
     pyr_n = imops.build_pyramid(nxt, levels)
     h_c, w_c = pyr_p[levels - 1].shape
