@@ -185,8 +185,15 @@ class RansacConfig:
 # fraction=0.8): stored-view depth and the new view differ by quantisation
 # and viewpoint. Fraction stays 0.5 here — the 0.8 gate assumes SuperPoint
 # match purity; iterations are free on TPU (all candidates run in parallel).
+# Redetection RANSAC (reference MultiMotionFusion.cpp:513: iterations=10,
+# inlier_threshold=0.03, inlier_fraction=0.8). The reference's 0.8 fraction
+# gate assumes SuperPoint-grade matches; the weights-free patch descriptor
+# produces noisier match sets where a hard fraction gate rejects candidates
+# that the ABSOLUTE acceptance (inliers > 5 and tightened refit err < 0.01,
+# engine_multi.redetect_one) would correctly keep. More parallel iterations
+# compensate for the lower per-candidate bar.
 REDETECT_RANSAC = RansacConfig(
-    iterations=64, inlier_threshold=0.03, inlier_fraction=0.5
+    iterations=64, inlier_threshold=0.03, inlier_fraction=0.25
 )
 
 

@@ -813,13 +813,6 @@ class MultiMotionFusionTPU:
                 from multimotionfusion_tpu import engine_multi as em
 
                 objects = em.empty_objects(self.cfg, cam)
-                pred_depth = jnp.concatenate(
-                    [
-                        self.state.filled.vertex_conf[None, ..., 2],
-                        objects.pred_vertex_conf[..., 2],
-                    ],
-                    axis=0,
-                )
                 self.mstate = em.MultiState(
                     smap=self.state.smap, pose=self.state.pose,
                     prev_pose=self.state.prev_pose, filled=self.state.filled,
@@ -832,7 +825,6 @@ class MultiMotionFusionTPU:
                         if uv is not None
                         else imops.rgb_to_intensity(rgb_u8.astype(jnp.float32))
                     ),
-                    pred_depth=pred_depth,
                     last_spawn=jnp.zeros((), jnp.int32),
                     ferns=self.state.ferns,
                     bad_track_count=self.state.bad_track_count,
@@ -1014,7 +1006,9 @@ class MultiMotionFusionTPU:
     # round-trips through one file, so long mapping sessions survive
     # restarts and crashes.
 
-    CKPT_VERSION = 2  # v2: GlobalState grew the loop-closure PoseMatch log
+    # v2: GlobalState grew the loop-closure PoseMatch log
+    # v3: ObjectSlots grew conf_t + max_depth; MultiState dropped pred_depth
+    CKPT_VERSION = 3
 
     def save_checkpoint(self, path: str) -> str:
         import pickle

@@ -52,6 +52,20 @@ class ObjectSlots(NamedTuple):
     active: jnp.ndarray  # [S] bool
     unseen: jnp.ndarray  # [S] int32 frames with zero segment pixels
     spawn_tick: jnp.ndarray  # [S] int32
+    # per-slot confidence threshold, RAISED towards the segment's average
+    # confidence as the model matures (reference MultiMotionFusion.cpp:615-620
+    # setConfidenceThreshold(min(max(old, avgConfidence), 9))). This is what
+    # sheds spawn-time contamination: surfels fused only once or twice (e.g. a
+    # background fringe inside the spawn mask) fall below the rising gate and
+    # stop rendering/claiming pixels, while the object's continuously-refreshed
+    # surfels keep up with it.
+    conf_t: jnp.ndarray  # [S] float32
+    # per-slot max depth clamp = its segment's depth mean + 1.2 std, updated
+    # every frame (reference MultiMotionFusion.cpp:408,486,563): background
+    # beyond the object's depth band can neither render from its map nor be
+    # fused into it — THE guard against background contamination of object
+    # maps (a spawn mask's coarse fringe always includes background pixels).
+    max_depth: jnp.ndarray  # [S] float32
     # per-slot prediction for the next frame's tracking (no fill-in; the
     # reference only fills in the global model, Model::performFillIn)
     pred_vertex_conf: jnp.ndarray  # [S, H, W, 4]
@@ -95,7 +109,6 @@ class MultiState(NamedTuple):
     objects: ObjectSlots
     prev_mask: jnp.ndarray  # [H, W] int32 segmentation of the previous frame
     prev_intensity: jnp.ndarray  # [H, W] previous frame intensity (flow)
-    pred_depth: jnp.ndarray  # [1 + S, H, W] per-model predicted depth
     last_spawn: jnp.ndarray  # [] int32 tick of the last spawn (cool-down)
     # global-model loop-closure/relocalisation state: the reference runs
     # closeLoops for the global model regardless of multi-model mode
@@ -117,6 +130,8 @@ def empty_objects(cfg: EngineConfig, cam: CameraModel) -> ObjectSlots:
         active=jnp.zeros((s,), bool),
         unseen=jnp.zeros((s,), jnp.int32),
         spawn_tick=jnp.zeros((s,), jnp.int32),
+        conf_t=jnp.full((s,), cfg.surfels.object_conf_threshold, jnp.float32),
+        max_depth=jnp.full((s,), cfg.surfels.depth_cutoff, jnp.float32),
         pred_vertex_conf=jnp.zeros((s, h, w, 4), jnp.float32),
         pred_normal_rad=jnp.zeros((s, h, w, 4), jnp.float32),
         pred_color=jnp.zeros((s, h, w, 3), jnp.float32),
@@ -126,6 +141,25 @@ def empty_objects(cfg: EngineConfig, cam: CameraModel) -> ObjectSlots:
         stored_valid=jnp.zeros((s, ks), bool),
         ext_id=jnp.zeros((s,), jnp.int32),
     )
+
+
+
+def _depth_stats(mask, new_label_mask, depth, m):
+    """[m+1] mean / std of frame depth per label (index m = new label).
+
+    Feeds the per-model max-depth clamp maxDepth = mean + 1.2 std
+    (reference MultiMotionFusion.cpp:408)."""
+    def one(sel):
+        sel = sel & (depth > 0)
+        n = jnp.maximum(jnp.sum(sel.astype(jnp.float32)), 1.0)
+        mu = jnp.sum(jnp.where(sel, depth, 0.0)) / n
+        var = jnp.sum(jnp.where(sel, depth**2, 0.0)) / n - mu**2
+        return mu, jnp.sqrt(jnp.maximum(var, 0.0))
+
+    means, stds = jax.vmap(
+        lambda k: one(jnp.where(k < m, mask == k, new_label_mask))
+    )(jnp.arange(m + 1))
+    return means, stds
 
 
 def _track_velocities(
@@ -320,6 +354,61 @@ def multi_frame_step(
     # inactive slots keep their pose
     obj_poses_new = jnp.where(obj.active[:, None, None], obj_poses_new, obj.pose)
 
+    # ---- per-model prediction at the NEWLY tracked poses --------------------
+    # The reference segments against each model's projection at its pose as of
+    # THIS frame (Segmentation.cpp:819-862 reads model->getPose() after the
+    # odometry pass). A prediction lagged by one frame misfits a mover by
+    # exactly its per-frame motion, so a fast object would never be claimed by
+    # its own model. The global row must be the RAW model projection, not the
+    # fill-in composite: fillIn blends the live frame in, which would let the
+    # global model "explain" every pixel — movers included. These index maps /
+    # attribute images / splats are exactly what fuse/clean/predict need later,
+    # so they are computed once here and reused (claimed slots are re-predicted
+    # after spawn below).
+    sub = state.smap.bucketed(bucket_fuse)
+    im0 = rasterize.predict_indices(
+        sub, new_pose0, cam, time, scfg.time_delta, scfg.depth_cutoff
+    )
+    # winner-attribute images shared by fuse, clean and the splat resolve
+    attrs0 = rasterize.gather_attr_images(im0.data_local, im0.index)
+    # the segmentation row uses the UNGATED depth: a one-frame-old global map
+    # (surfel conf ~1 < conf_threshold 10) would otherwise render nothing and
+    # the whole image would segment as one giant outlier/new-label region
+    pred0, seg_depth0 = rasterize.splat_resolve(
+        im0, cam, scfg.conf_threshold, time, time, scfg.time_delta,
+        scfg.splat_footprint, attrs=attrs0, with_ungated_depth=True,
+    )
+
+    def predict_one(data, count, pose, conf_t, max_depth):
+        omap = sm.SurfelMap(data=data, count=count)
+        im = rasterize.predict_indices(
+            omap, pose, cam, time, scfg.time_delta, max_depth
+        )
+        at = rasterize.gather_attr_images(im.data_local, im.index)
+        pred, seg_depth = rasterize.splat_resolve(
+            im, cam, conf_t, time, time, scfg.time_delta,
+            scfg.splat_footprint, attrs=at, with_ungated_depth=True,
+        )
+        return im.index, im.data_local, at, pred, seg_depth
+
+    oidx, odl, oattrs, opred, oseg_depth = jax.vmap(predict_one)(
+        obj.data, obj.count, obj_poses_new, obj.conf_t, obj.max_depth
+    )
+    # segmentation depth: the conf-GATED projection where it has coverage
+    # (stable geometry), the ungated one as fallback (young maps whose
+    # surfels are all below the gate would otherwise render nothing and the
+    # whole image would segment as outlier). The gated-first order keeps
+    # one-shot junk from shadowing mature surfels.
+    gz0 = pred0.vertex_conf[..., 2]
+    ogz = opred.vertex_conf[..., 2]
+    seg_pred_depth = jnp.concatenate(
+        [
+            jnp.where(gz0 > 1e-6, gz0, seg_depth0)[None],
+            jnp.where(ogz > 1e-6, ogz, oseg_depth),
+        ],
+        axis=0,
+    )
+
     # ---- segmentation ------------------------------------------------------
     poses_prev = jnp.concatenate([state.pose[None], obj.pose], axis=0)
     poses_new = jnp.concatenate([new_pose0[None], obj_poses_new], axis=0)
@@ -341,12 +430,16 @@ def multi_frame_step(
         )
         reactivate = pres.reactivate
         new_ext_id = pres.new_ext_id
+        pdm, pds = _depth_stats(
+            pres.mask, pres.new_label_mask, depth_filt, 1 + n_slots
+        )
         seg_res = seg.SegmentationResult(
             mask=pres.mask,
             new_label_mask=pres.new_label_mask,
             has_new_label=pres.has_new_label,
             pixel_counts=pres.pixel_counts,
-            depth_mean=pres.depth_mean,
+            depth_mean=pdm,
+            depth_std=pds,
             flow=jnp.zeros((cam.height // 4, cam.width // 4, 2), jnp.float32),
         )
     elif cfg.segmentation.mode == "crf":
@@ -371,23 +464,21 @@ def multi_frame_step(
         m_all = 1 + n_slots
         counts = lres.pixel_counts
         lbl = lres.mask
-        dmean = jax.vmap(
-            lambda k: jnp.sum(jnp.where(lbl == k, depth_filt, 0.0))
-            / jnp.maximum(jnp.sum((lbl == k) & (depth_filt > 0)), 1)
-        )(jnp.arange(m_all))
+        ldm, lds = _depth_stats(lbl, lres.new_label_mask, depth_filt, m_all)
         seg_res = seg.SegmentationResult(
             mask=lbl,
             new_label_mask=lres.new_label_mask,
             has_new_label=lres.has_new_label,
             pixel_counts=counts,
-            depth_mean=dmean,
+            depth_mean=ldm,
+            depth_std=lds,
             flow=jnp.zeros(
                 (cam.height // 4, cam.width // 4, 2), jnp.float32
             ),
         )
     else:
         seg_res = seg.flow_crf_segmentation(
-            state.prev_intensity, intensity, depth_filt, state.pred_depth,
+            state.prev_intensity, intensity, depth_filt, seg_pred_depth,
             model_active, txy, vel, pair_valid, cam, cfg.segmentation,
             allow_new=allow_new,
         )
@@ -469,6 +560,17 @@ def multi_frame_step(
         seg_res.mask,
     )
 
+    # per-slot max-depth clamp from the segment's depth statistics
+    # (setMaxDepth(depthMean + 1.2 * depthStd), MultiMotionFusion.cpp:408):
+    # active slots update from THEIR segment; claimed slots adopt the new
+    # label's band; slots with no pixels this frame keep the previous clamp
+    seg_maxd = jnp.minimum(
+        seg_res.depth_mean + 1.2 * seg_res.depth_std,
+        jnp.float32(scfg.depth_cutoff),
+    )
+    slot_maxd = seg_maxd[1 : 1 + n_slots]
+    new_maxd = seg_maxd[1 + n_slots]
+
     # ---- track <-> segment association (MultiMotionFusion.cpp:585-604) -----
     xi = jnp.clip(jnp.rint(txy[:, 0]).astype(jnp.int32), 0, w - 1)
     yi = jnp.clip(jnp.rint(txy[:, 1]).astype(jnp.int32), 0, h - 1)
@@ -502,7 +604,10 @@ def multi_frame_step(
     fs = sm.compute_frame_surfels(
         rgb, vmap_raw, vmap_f, nmap_f, cam, time, scfg.depth_cutoff, 100.0
     )  # weight 100 = the reference's spawn fuse weight (MultiMotionFusion.cpp:569)
-    spawn_valid = fs.valid & (mask == new_id).reshape(-1) & spawn
+    spawn_valid = (
+        fs.valid & (mask == new_id).reshape(-1) & spawn
+        & (fs.data[sm.PZ] <= new_maxd)
+    )
     spawn_fs = sm.FrameSurfels(
         data=jnp.where(spawn_valid[None], fs.data, 0.0), valid=spawn_valid
     )
@@ -528,6 +633,65 @@ def multi_frame_step(
         jnp.where(is_red_slot[:, None, None], red_T[red_slot][None], obj_poses_new),
     )
     obj_spawn_tick = jnp.where(is_spawn_slot | is_red_slot, time, obj.spawn_tick)
+    # object-model confidence maturation (MultiMotionFusion.cpp:615-620):
+    # raise each ACTIVE slot's render/clean confidence gate towards its
+    # segment's average predicted confidence (capped at 9); claimed slots
+    # restart at the base object gate ('-confO')
+    seg_conf_sum = jax.vmap(
+        lambda k: jnp.sum(
+            jnp.where(seg_res.mask == k + 1, obj.pred_vertex_conf[k, ..., 3], 0.0)
+        )
+    )(jnp.arange(n_slots, dtype=jnp.int32))
+    seg_conf_cnt = jax.vmap(
+        lambda k: jnp.sum((seg_res.mask == k + 1).astype(jnp.float32))
+    )(jnp.arange(n_slots, dtype=jnp.int32))
+    avg_conf = seg_conf_sum / jnp.maximum(seg_conf_cnt, 1.0)
+    conf_t = jnp.where(
+        obj.active & (seg_conf_cnt > 0),
+        jnp.minimum(jnp.maximum(obj.conf_t, avg_conf), 9.0),
+        obj.conf_t,
+    )
+    conf_t = jnp.where(
+        is_spawn_slot | is_red_slot,
+        jnp.float32(scfg.object_conf_threshold),
+        conf_t,
+    )
+    max_depth = jnp.where(
+        obj.active & (seg_res.pixel_counts[1 : 1 + n_slots] > 0),
+        slot_maxd,
+        obj.max_depth,
+    )
+    max_depth = jnp.where(is_spawn_slot | is_red_slot, new_maxd, max_depth)
+
+    # ---- re-predict the claimed slot (spawn replaced its data; redetection
+    # replaced its pose) so fusion + next-frame tracking see the new state;
+    # lax.cond skips the render entirely on the (common) no-claim frames
+    def _repredict(_):
+        # the ungated seg depth is only consumed by the segmentation above
+        return predict_one(
+            obj_data[target_slot], obj_count[target_slot],
+            obj_pose[target_slot],
+            jnp.float32(scfg.object_conf_threshold),  # claimed slots restart
+            new_maxd,
+        )[:4]
+
+    def _keep(_):
+        return (
+            oidx[target_slot], odl[target_slot], oattrs[target_slot],
+            jax.tree_util.tree_map(lambda x: x[target_slot], opred),
+        )
+
+    cl_idx, cl_dl, cl_attrs, cl_pred = jax.lax.cond(claim, _repredict, _keep, None)
+    is_claim = (jnp.arange(n_slots) == target_slot) & claim
+    oidx = jnp.where(is_claim[:, None, None], cl_idx[None], oidx)
+    odl = jnp.where(is_claim[:, None, None], cl_dl[None], odl)
+    oattrs = jnp.where(is_claim[:, None, None, None], cl_attrs[None], oattrs)
+    opred = jax.tree_util.tree_map(
+        lambda full, one: jnp.where(
+            is_claim.reshape((-1,) + (1,) * (full.ndim - 1)), one[None], full
+        ),
+        opred, cl_pred,
+    )
 
     # ---- lost models (zero segment pixels; MultiMotionFusion.cpp:606-613) --
     slot_px = seg_res.pixel_counts[1 : 1 + n_slots]
@@ -582,12 +746,7 @@ def multi_frame_step(
     fs_w = sm.compute_frame_surfels(
         rgb, vmap_raw, vmap_f, nmap_f, cam, time, scfg.depth_cutoff, weighting
     )
-    sub = state.smap.bucketed(bucket_fuse)
-    im0 = rasterize.predict_indices(
-        sub, new_pose0, cam, time, scfg.time_delta, scfg.depth_cutoff
-    )
-    # winner-attribute images shared by fuse, clean and the splat resolve
-    attrs0 = rasterize.gather_attr_images(im0.data_local, im0.index)
+    # im0/attrs0 were rendered at new_pose0 before segmentation (reused here)
     fused0 = fusion.fuse(
         sub, fs_w, im0, mask, 0, new_pose0, cam, time, scfg, attrs=attrs0
     )
@@ -604,58 +763,50 @@ def multi_frame_step(
         )
     gdata = state.smap.data.at[:, :bucket_fuse].set(cleaned0.data)
     smap = sm.SurfelMap(data=gdata, count=cleaned0.count)
-    pred0 = rasterize.splat_resolve(
-        im0, cam, scfg.conf_threshold, time, time, scfg.time_delta,
-        scfg.splat_footprint, attrs=attrs0,
-    )
     conf_img = sm.pixel_confidence(cam, 1.0)
     rad_img = sm.radius_from_depth(vmap_f[..., 2], nmap_f[..., 2], cam)
     filled = fill_in(
         pred0, rgb, vmap_f, nmap_f, conf_img, rad_img, cfg.frame_to_frame_rgb
     )
 
-    # ---- object models fuse + clean + predict (vmapped over slots) ---------
-    def fuse_one(slot_idx, data, count, pose, active):
+    # ---- object models fuse + clean (vmapped; predictions hoisted above) ---
+    def fuse_one(slot_idx, data, count, pose, active, idx, dl, attrs,
+                 conf_gate, max_depth):
         omap = sm.SurfelMap(data=data, count=count)
         mask_id = slot_idx + 1
-        im = rasterize.predict_indices(
-            omap, pose, cam, time, scfg.time_delta, scfg.depth_cutoff
+        im = rasterize.IndexMap(index=idx, data_local=dl)
+        # frame pixels beyond the slot's depth band cannot enter its map
+        fs_slot = sm.FrameSurfels(
+            data=fs_w.data, valid=fs_w.valid & (fs_w.data[sm.PZ] <= max_depth)
         )
-        attrs = rasterize.gather_attr_images(im.data_local, im.index)
         fused = fusion.fuse(
-            omap, fs_w, im, mask, mask_id, pose, cam, time, scfg, attrs=attrs
+            omap, fs_slot, im, mask, mask_id, pose, cam, time, scfg, attrs=attrs
         )
         # object models clean/render at the LOW object confidence gate
         # ('-confO' 0.01 vs '-confG' 10.0, MainController.cpp:77-78): young
         # small models would otherwise render nothing for masked tracking
         cleaned = fusion.clean(
             fused, im, depth_filt, mask, mask_id, pose, cam,
-            time, scfg.time_delta, scfg.object_conf_threshold, scfg,
+            time, scfg.time_delta, conf_gate, scfg,
             attrs=attrs, compact=_compact_pred(time, scfg),
-        )
-        pred = rasterize.splat_resolve(
-            im, cam, scfg.object_conf_threshold, time, time, scfg.time_delta,
-            scfg.splat_footprint, attrs=attrs,
         )
         # inactive slots: keep previous state untouched
         out_data = jnp.where(active, cleaned.data, data)
         out_count = jnp.where(active, cleaned.count, count)
-        return out_data, out_count, pred.vertex_conf, pred.normal_rad, pred.color
+        return out_data, out_count
 
-    odata, ocount, opvc, opnr, opcol = jax.vmap(fuse_one)(
+    odata, ocount = jax.vmap(fuse_one)(
         jnp.arange(n_slots, dtype=jnp.int32), obj_data, obj_count, obj_pose,
-        obj_active,
+        obj_active, oidx, odl, oattrs, conf_t, max_depth,
     )
+    opvc, opnr, opcol = opred.vertex_conf, opred.normal_rad, opred.color
     objects = ObjectSlots(
         data=odata, count=ocount, pose=obj_pose, active=obj_active,
-        unseen=unseen, spawn_tick=obj_spawn_tick,
+        unseen=unseen, spawn_tick=obj_spawn_tick, conf_t=conf_t,
+        max_depth=max_depth,
         pred_vertex_conf=opvc, pred_normal_rad=opnr, pred_color=opcol,
         stored=obj_stored, stored_desc=stored_desc, stored_p3d=stored_p3d,
         stored_valid=stored_valid, ext_id=obj_ext_id,
-    )
-
-    pred_depth = jnp.concatenate(
-        [filled.vertex_conf[None, ..., 2], opvc[..., 2]], axis=0
     )
 
     coarse = frame_pyr.intensity[cfg.odometry.num_pyr - 1]
@@ -678,7 +829,7 @@ def multi_frame_step(
     new_state = MultiState(
         smap=smap, pose=new_pose0, prev_pose=state.pose, filled=filled,
         last_intensity_coarse=coarse, tracks=tracks, rng=rng, objects=objects,
-        prev_mask=mask, prev_intensity=intensity, pred_depth=pred_depth,
+        prev_mask=mask, prev_intensity=intensity,
         last_spawn=jnp.where(claim, jnp.int32(time), state.last_spawn),
         ferns=ferns_db, bad_track_count=bad_count, lost=lost,
     )

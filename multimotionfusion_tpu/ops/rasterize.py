@@ -209,7 +209,8 @@ def splat_resolve(
     window: int = 5,
     pre_gated: bool = False,
     attrs: jnp.ndarray | None = None,
-) -> PredictedMaps:
+    with_ungated_depth: bool = False,
+):
     """combo_splat.frag ray-disk resolve over an existing index map.
 
     With pre_gated=False this reuses the data-association index map (which has
@@ -218,6 +219,17 @@ def splat_resolve(
     semantic difference from a dedicated gated z-min render: a gated-out
     surfel can occupy a centre pixel and shadow a gated-in one exactly behind
     it; neighbouring pixels' candidates almost always cover such pixels.
+
+    with_ungated_depth=True additionally returns a [H, W] depth image that
+    ignores the confidence/time gates (zeros where no surfel) — the
+    segmentation's reprojection term asks "does this model's GEOMETRY explain
+    the pixel", which must not depend on surfel maturity: a one-frame-old
+    global map would otherwise render nothing at conf_threshold 10 and the
+    whole image would look like an outlier segment (reference counterpart:
+    getVertexConfProjection in Segmentation.cpp:825-830 — vacuous there with
+    one model because of their row normalisation). Costs a couple of selects
+    inside the existing tap loop instead of a second resolve pass. Returns
+    (PredictedMaps, depth) when set, PredictedMaps otherwise.
     """
     h, w = cam.height, cam.width
     data_local = index_map.data_local
@@ -245,6 +257,7 @@ def splat_resolve(
     _WIN_CH = (sm.CR, sm.CG, sm.CB, sm.CONF, sm.NX, sm.NY, sm.NZ, sm.RADIUS,
                sm.INIT_T)
     best_z = jnp.full((h, w), _BIG)
+    best_zu = jnp.full((h, w), _BIG)  # ungated variant (see docstring)
     best_idx = jnp.full((h, w), INVALID)
     best_att = [jnp.zeros((h, w), jnp.float32) for _ in _WIN_CH]
     r = window // 2
@@ -262,6 +275,7 @@ def splat_resolve(
             elif dx < 0:
                 cand = cand.at[:, : -dx].set(INVALID)
             cvalid = cand >= 0
+            ungated = cvalid
             if not pre_gated:
                 cvalid = (
                     cvalid
@@ -278,7 +292,8 @@ def splat_resolve(
             t = pn / jnp.where(jnp.abs(ln) > 1e-12, ln, 1e-12)
             hx, hy, hz = t * l0, t * l1, t * l2
             d2 = (hx - cpx) ** 2 + (hy - cpy) ** 2 + (hz - cpz) ** 2
-            hit = cvalid & (d2 <= crad * crad) & (hz > 0)
+            disk = (d2 <= crad * crad) & (hz > 0)
+            hit = cvalid & disk
             closer = hit & (hz < best_z)
             best_z = jnp.where(closer, hz, best_z)
             best_idx = jnp.where(closer, cand, best_idx)
@@ -286,6 +301,9 @@ def splat_resolve(
                 jnp.where(closer, cdat[ch], acc)
                 for ch, acc in zip(_WIN_CH, best_att)
             ]
+            if with_ungated_depth:
+                hit_u = ungated & disk
+                best_zu = jnp.where(hit_u & (hz < best_zu), hz, best_zu)
 
     valid = best_idx >= 0
     win = dict(zip(_WIN_CH, best_att))
@@ -302,13 +320,16 @@ def splat_resolve(
     vertex_conf = jnp.stack([vx, vy, zc, g(sm.CONF)], axis=-1)
     normal_rad = jnp.stack([g(sm.NX), g(sm.NY), g(sm.NZ), g(sm.RADIUS)], axis=-1)
     tmap = jnp.where(valid, win[sm.INIT_T], 0.0)
-    return PredictedMaps(
+    pred = PredictedMaps(
         color=color,
         vertex_conf=vertex_conf,
         normal_rad=normal_rad,
         time=tmap.astype(jnp.int32),
         valid=valid,
     )
+    if with_ungated_depth:
+        return pred, jnp.where(best_zu < _BIG, best_zu, 0.0)
+    return pred
 
 
 def splat_depth(

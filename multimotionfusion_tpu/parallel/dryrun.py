@@ -99,12 +99,7 @@ def build_state(cfg: EngineConfig):
         pred_normal_rad=bc(filled.normal_rad),
         pred_color=bc(filled.color),
     )
-    pred_depth = jnp.concatenate(
-        [filled.vertex_conf[None, ..., 2], obj.pred_vertex_conf[..., 2]], axis=0
-    )
-    state = state._replace(
-        objects=obj, prev_mask=jnp.asarray(mask_np), pred_depth=pred_depth
-    )
+    state = state._replace(objects=obj, prev_mask=jnp.asarray(mask_np))
 
     T2 = synthetic.pose((0.0, 0.002, 0.0), (0.003, 0.0, 0.001))
     depth2, rgb2 = synthetic.render(T2, cam)

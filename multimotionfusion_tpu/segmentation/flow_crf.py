@@ -39,7 +39,12 @@ class SegmentationResult(NamedTuple):
     new_label_mask: jnp.ndarray  # [H, W] bool — pixels of the prospective new model
     has_new_label: jnp.ndarray  # [] bool (> 5% of the image is outlier)
     pixel_counts: jnp.ndarray  # [M] int32 per model slot (largest component, full res)
-    depth_mean: jnp.ndarray  # [M] mean frame depth inside each mask
+    depth_mean: jnp.ndarray  # [M+1] mean frame depth inside each mask
+    # (index M = the prospective new label's segment). Mean/std feed each
+    # object model's per-frame max-depth clamp, maxDepth = mean + 1.2 std
+    # (reference MultiMotionFusion.cpp:408,486,563) — the guard that keeps
+    # background beyond the object's depth band out of its map.
+    depth_std: jnp.ndarray  # [M+1]
     flow: jnp.ndarray  # [Hc, Wc, 2] the computed flow (debug/GUI parity)
 
 
@@ -74,7 +79,29 @@ def reprojection_probability(
     raw = jnp.where(pred_depth_c > 1e-6, raw, 0.0)
     prob = jnp.where(invalid[None], 0.0, raw * model_active[:, None, None])
     best_fit = jnp.max(prob, axis=0)
-    outlier = jnp.where(invalid, 0.0, 1.0 - best_fit)
+    # the outlier (new-object) row additionally requires the observation to be
+    # IN FRONT of every covering model's surface: an unexplained pixel that is
+    # FARTHER than a prediction is an occlusion reveal — stale map geometry
+    # uncovered by motion — which fusion's see-through cull owns, not a new
+    # object (a real object occludes; it cannot be behind known free space).
+    # The reference never faces this: its row normalisation makes the term
+    # vacuous with one active model, so reveals only reach its CRF through the
+    # (motion-gated) flow term. With raw rows the gate is load-bearing.
+    covered = (pred_depth_c > 1e-6) & model_active[:, None, None]
+    behind = covered & (
+        frame_depth_c[None] > pred_depth_c + max_err
+    )
+    in_front = ~jnp.any(behind, axis=0)
+    # ... and NEVER-OBSERVED pixels are neutral, not outliers: a region the
+    # mover just uncovered was occluded at every past frame, so no model
+    # covers it — it is new GLOBAL geometry, not a new object (the reference
+    # reaches the same outcome via its "equal probability for uncertain
+    # data" expsum==0 branch, Segmentation.cpp:858-861: unknowns never feed
+    # its outlier class either).
+    any_cover = jnp.any(covered, axis=0)
+    outlier = jnp.where(
+        invalid | ~in_front | ~any_cover, 0.0, 1.0 - best_fit
+    )
     # valid frame depth required: unobserved pixels can't vote for a new model
     outlier = jnp.where(frame_depth_c > 1e-6, outlier, 0.0)
     return prob, outlier
@@ -191,7 +218,20 @@ def flow_crf_segmentation(
     # inactive model slots can never win
     label_ok = jnp.concatenate([model_active, jnp.array([allow_new])])
     prob = jnp.where(label_ok[None, None, :], prob, -1.0)
-    lbl = jnp.argmax(prob, axis=-1)  # [Hc, Wc]
+    # near-ties between MODEL rows break to the LOWER model id: the
+    # reference's row normalisation makes two models that explain a pixel
+    # equally well tie EXACTLY and its MAP takes the first row (global before
+    # objects); raw fit rows instead differ by mm-level depth noise, which
+    # would randomly split ownership of doubly-explained pixels and let an
+    # object model cling to background patches inside its depth band forever.
+    # The outlier row is NOT biased: its probability saturates at exactly 1.0
+    # on a gross misfit, and penalising it lets a CRF-flooded model row
+    # (smoothness spreading over trackless new-object pixels) steal half of a
+    # genuinely unexplained segment.
+    bias = 0.02 * jnp.concatenate(
+        [jnp.arange(m, dtype=jnp.float32), jnp.zeros((1,), jnp.float32)]
+    )
+    lbl = jnp.argmax(prob - bias, axis=-1)  # [Hc, Wc]
 
     # 6. largest component per label, counts, new-label gate
     segm = jnp.full((hc, wc), -1, jnp.int32)
@@ -202,9 +242,29 @@ def flow_crf_segmentation(
         counts.append(jnp.sum(largest.astype(jnp.int32)))
     counts = jnp.stack(counts)
 
+    # border rejection (Segmentation.cpp:583-590, borderSize=20 full-res px):
+    # a candidate segment whose bounding box lies entirely inside one border
+    # band is an image-edge artefact (flow and splat coverage are both
+    # unreliable there), not an entering object
+    new_comp = components.keep_largest_component(lbl == m)
+    yy = jnp.arange(hc, dtype=jnp.int32)[:, None]
+    xx = jnp.arange(wc, dtype=jnp.int32)[None, :]
+    top = jnp.min(jnp.where(new_comp, yy, hc))
+    bottom = jnp.max(jnp.where(new_comp, yy, -1))
+    left = jnp.min(jnp.where(new_comp, xx, wc))
+    right = jnp.max(jnp.where(new_comp, xx, -1))
+    b = max(1, int(round(20 * cfg.scale)))
+    at_border = (
+        ((top < b) & (bottom < b))
+        | ((left < b) & (right < b))
+        | ((top > hc - 1 - b) & (bottom > hc - 1 - b))
+        | ((left > wc - 1 - b) & (right > wc - 1 - b))
+    )
+
     has_new = (
         jnp.asarray(allow_new)
         & ((counts[m].astype(jnp.float32) / (hc * wc)) > cfg.new_label_min_frac)
+        & ~at_border
     )
 
     # upsample (nearest) to full resolution; unlabelled pixels -> model 0
@@ -216,13 +276,17 @@ def flow_crf_segmentation(
 
     scale_w = 1.0 / (cfg.scale * cfg.scale)
     pix_counts = (counts[:m].astype(jnp.float32) * scale_w).astype(jnp.int32)
-    dsum = jnp.zeros((m,))
-    dcnt = jnp.zeros((m,))
-    for l in range(m):
+    dsum = jnp.zeros((m + 1,))
+    dsq = jnp.zeros((m + 1,))
+    dcnt = jnp.zeros((m + 1,))
+    for l in range(m + 1):  # index m = the new-label segment
         sel = (full == l) & (frame_depth > 0)
         dsum = dsum.at[l].set(jnp.sum(jnp.where(sel, frame_depth, 0.0)))
+        dsq = dsq.at[l].set(jnp.sum(jnp.where(sel, frame_depth**2, 0.0)))
         dcnt = dcnt.at[l].set(jnp.sum(sel.astype(jnp.float32)))
-    depth_mean = dsum / jnp.maximum(dcnt, 1.0)
+    n = jnp.maximum(dcnt, 1.0)
+    depth_mean = dsum / n
+    depth_std = jnp.sqrt(jnp.maximum(dsq / n - depth_mean**2, 0.0))
 
     return SegmentationResult(
         mask=mask,
@@ -230,5 +294,6 @@ def flow_crf_segmentation(
         has_new_label=has_new,
         pixel_counts=pix_counts,
         depth_mean=depth_mean,
+        depth_std=depth_std,
         flow=flow,
     )

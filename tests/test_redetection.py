@@ -50,19 +50,19 @@ def test_redetect_reactivates_stored_slot():
     from multimotionfusion_tpu import engine_multi as em
 
     cfg = _cfg()
-    centre0 = np.array([0.15, 0.0, 1.3])
-    shift = np.array([0.12, 0.0, 0.0])
+    centre0 = np.array([0.1, 0.0, 1.15])
+    shift = np.array([0.1, 0.0, 0.0])
 
     # frame A: sphere at its original position -> snapshot source
     dA, rgbA = synthetic.render(
         np.eye(4, dtype=np.float32), CAM, sphere_center=tuple(centre0),
-        sphere_radius=0.45,
+        sphere_radius=0.5,
     )
     d_bg, rgb_bg = synthetic.render(np.eye(4, dtype=np.float32), CAM, sphere_radius=1e-9)
     # frame B: background only (object gone); frame C: sphere reappears shifted
     dC, rgbC = synthetic.render(
         np.eye(4, dtype=np.float32), CAM, sphere_center=tuple(centre0 + shift),
-        sphere_radius=0.45,
+        sphere_radius=0.5,
     )
 
     # engine warm-up on background so the global model doesn't contain the
