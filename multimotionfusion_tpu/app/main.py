@@ -257,7 +257,11 @@ def main(argv=None) -> int:
         ctrl = ControlServer(engine, port=args.ctrl)
         print(f"control server on 127.0.0.1:{ctrl.port}")
 
-    n = len(reader) if args.frames is None else min(args.frames, len(reader))
+    n_len = len(reader)
+    if n_len == 0:  # live source: unbounded unless -frames caps it
+        n = args.frames if args.frames is not None else (1 << 31)
+    else:
+        n = n_len if args.frames is None else min(args.frames, n_len)
     if args.batch > 1 and args.static and not args.rt and args.odom_init != "tf":
         # offline batched path: k frames per device dispatch
         t_start = _time.time()

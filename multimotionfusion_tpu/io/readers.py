@@ -253,6 +253,16 @@ class SlicedLogReader(LogReader):
 
 def open_log(uri: str, cam: Optional[CameraModel] = None) -> LogReader:
     """Reader selection (reference MainController.cpp:185-305)."""
+    if uri.startswith("live:"):
+        # live RGB-D over TCP (the LiveLogReader/RosNodeReader transport
+        # slot): "live:<port>" listens locally; "live://host:port" too —
+        # the reader always LISTENS, producers connect and push.
+        from multimotionfusion_tpu.io.live import LiveSocketReader
+
+        spec = uri[5:].lstrip("/")
+        host, _, port = spec.rpartition(":")
+        return LiveSocketReader(port=int(port or spec or 0),
+                                host=host or "127.0.0.1")
     if uri.endswith(".klg"):
         c = cam or CameraModel()
         return KlgLogReader(uri, c.width, c.height)
