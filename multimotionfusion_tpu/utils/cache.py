@@ -29,6 +29,25 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
             if os.access(repo, os.W_OK)
             else os.path.expanduser("~/.cache/multimotionfusion_tpu/jax")
         )
+    # segregate entries per host CPU: jax's cache key does NOT cover host
+    # machine features, so a CPU AOT executable compiled on (say) an AMX
+    # machine gets loaded on a host without AMX — XLA warns "could lead to
+    # execution errors such as SIGILL" and we observed hard aborts mid-suite.
+    # TPU executables are host-agnostic, but the virtual-CPU-mesh tests are
+    # exactly the entries that differ.
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(
+                (ln for ln in f if ln.startswith("flags")), platform.machine()
+            )
+    except OSError:
+        flags = platform.machine()
+    tag = hashlib.sha1(str(flags).encode()).hexdigest()[:12]
+    loc = os.path.join(loc, f"host-{tag}")
+
     import jax
 
     try:

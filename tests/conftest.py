@@ -28,6 +28,54 @@ enable_persistent_cache()
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# jax's persistent-cache executable (de)serialiser SEGFAULTS/aborts after
+# roughly 50-100 uses in one process (observed deterministically in BOTH
+# put_executable_and_time and get_executable_and_time across four full-suite
+# runs; every affected test passes standalone, and neither RSS nor disk is
+# exhausted). Mitigation: (a) order the compile-HEAVY modules first so their
+# multi-minute multi_frame_step programs get the cache while it is safe, and
+# (b) hard-cap the number of serialiser invocations per process — once the
+# budget is spent, reads report a miss and writes are dropped, so the cheap
+# remainder compiles fresh (seconds per program) instead of crashing.
+_HEAVY_FIRST = [
+    "test_parallel",  # runs its body in a clean subprocess
+    "test_precomputed",
+    "test_redetection",
+    "test_reloc",
+    "test_multi_model",
+    "test_accuracy",
+    "test_legacy_crf",
+    "test_end_to_end",
+    "test_app",
+    "test_loop_closure",
+]
+
+
+def pytest_collection_modifyitems(config, items):
+    rank = {m: i for i, m in enumerate(_HEAVY_FIRST)}
+    items.sort(key=lambda it: rank.get(it.module.__name__, len(_HEAVY_FIRST)))
+
+
+from jax._src import compilation_cache as _cc  # noqa: E402
+
+_CACHE_USE_BUDGET = 32
+_cache_uses = 0
+
+
+def _capped(fn, miss):
+    def wrapped(*a, **k):
+        global _cache_uses
+        if _cache_uses >= _CACHE_USE_BUDGET:
+            return miss
+        _cache_uses += 1
+        return fn(*a, **k)
+
+    return wrapped
+
+
+_cc.get_executable_and_time = _capped(_cc.get_executable_and_time, (None, None))
+_cc.put_executable_and_time = _capped(_cc.put_executable_and_time, None)
+
 
 @pytest.fixture
 def rng():
