@@ -109,10 +109,14 @@ class ControlServer:
                 try:
                     msg = json.loads(line)
                     if msg.get("cmd") == "subscribe":
+                        # register BEFORE acking: a client may trigger event
+                        # drains the moment it reads the ack
+                        q: queue.Queue = queue.Queue()
+                        self._subs.append(q)
                         f.write(json.dumps({"ok": True, "subscribed": True})
                                 + "\n")
                         f.flush()
-                        self._stream(f)  # blocks until the client hangs up
+                        self._stream(f, q)  # blocks until the client hangs up
                         return
                     reply = self._dispatch(msg)
                 except Exception as e:  # noqa: BLE001 - report to client
@@ -124,11 +128,9 @@ class ControlServer:
         for q in list(self._subs):
             q.put({"type": "event", **ev})
 
-    def _stream(self, f):
+    def _stream(self, f, q: queue.Queue):
         """Push lifecycle events + periodic status to one subscriber
         (RosStatePublisher's status topic + Callbacks.h event surface)."""
-        q: queue.Queue = queue.Queue()
-        self._subs.append(q)
         try:
             while True:
                 try:
