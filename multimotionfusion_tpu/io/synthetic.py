@@ -33,12 +33,13 @@ def render(
     sphere_radius=0.35,
     wall_z=2.5,
     floor_y=0.8,
+    spheres=None,
 ):
     """Render (depth [H,W] float32 metres, rgb [H,W,3] float32 0..255).
 
     T_wc: camera-to-world pose. Scene (world frame): back wall z=wall_z,
-    floor y=floor_y, one sphere.
-    """
+    floor y=floor_y, one sphere — or several via ``spheres=[(center, radius),
+    ...]`` (multi-object journeys; overrides the single-sphere args)."""
     h, w = cam.height, cam.width
     xs, ys = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
     dirs_cam = np.stack(
@@ -65,29 +66,40 @@ def render(
     t_floor = np.where((dy > 1e-9) & (t_floor > 0.05), t_floor, np.inf)
     t_hit = np.minimum(t_hit, t_floor)
 
-    # sphere
-    c = np.asarray(sphere_center, np.float64)
-    oc = origin - c
-    b = np.einsum("hwi,i->hw", dirs, oc)
-    cc = oc @ oc - sphere_radius**2
-    disc = b * b - np.einsum("hwi,hwi->hw", dirs, dirs) * cc
-    with np.errstate(invalid="ignore"):
-        sq = np.sqrt(np.maximum(disc, 0.0))
-        nrm2 = np.einsum("hwi,hwi->hw", dirs, dirs)
-        t_sph = (-b - sq) / nrm2
-    t_sph = np.where((disc > 0) & (t_sph > 0.05), t_sph, np.inf)
-    t_hit = np.minimum(t_hit, t_sph)
+    # spheres (front-most wins per pixel)
+    if spheres is None:
+        spheres = [(sphere_center, sphere_radius)]
+    nrm2 = np.einsum("hwi,hwi->hw", dirs, dirs)
+    t_spheres = []
+    for centre, radius in spheres:
+        c = np.asarray(centre, np.float64)
+        oc = origin - c
+        b = np.einsum("hwi,i->hw", dirs, oc)
+        cc = oc @ oc - radius**2
+        disc = b * b - nrm2 * cc
+        with np.errstate(invalid="ignore"):
+            sq = np.sqrt(np.maximum(disc, 0.0))
+            t_sph = (-b - sq) / nrm2
+        t_sph = np.where((disc > 0) & (t_sph > 0.05), t_sph, np.inf)
+        t_spheres.append(t_sph)
+        t_hit = np.minimum(t_hit, t_sph)
 
     hit = np.isfinite(t_hit)
     points_w = origin + dirs * t_hit[..., None]
     # depth = z in CAMERA frame
     p_cam = (points_w - t) @ R
     depth = np.where(hit, p_cam[..., 2], 0.0).astype(np.float32)
-    # the sphere's texture is anchored to the OBJECT (local coordinates), so a
-    # moving object keeps its appearance — required for descriptor tracking
-    # and redetection to be physically meaningful
-    sphere_hit = hit & np.isclose(t_hit, t_sph)
-    tex_p = np.where(sphere_hit[..., None], points_w - c + 0.8, points_w)
+    # each sphere's texture is anchored to the OBJECT (local coordinates), so
+    # a moving object keeps its appearance — required for descriptor tracking
+    # and redetection to be physically meaningful. Each object gets a distinct
+    # texture-space offset so two objects are not photometric clones.
+    tex_p = points_w.copy()
+    for k, ((centre, _), t_sph) in enumerate(zip(spheres, t_spheres)):
+        c = np.asarray(centre, np.float64)
+        sphere_hit = hit & np.isclose(t_hit, t_sph)
+        tex_p = np.where(
+            sphere_hit[..., None], points_w - c + 0.8 + 0.37 * k, tex_p
+        )
     rgb = np.where(hit[..., None], _texture(tex_p), 0.0).astype(np.float32)
     return depth, rgb
 

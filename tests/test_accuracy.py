@@ -187,6 +187,80 @@ def test_object_trajectory_tracks_motion():
     assert np.linalg.norm(cam_t) < 0.05, cam_t
 
 
+def test_two_objects_track_opposing_motions():
+    """TWO independent movers (opposing tangential motions after an approach
+    phase): both must spawn (second one after the spawn cool-down), hold
+    their own slots to the end, and track their opposing world motions with
+    the right directions and magnitudes. This pins simultaneous multi-object
+    capacity end-to-end (the BASELINE configuration is >= 5 objects; slot
+    count is a config scalar and test_parallel exercises 8 sharded slots —
+    what needs evidence is several CONCURRENT spawn/track lifecycles)."""
+    cfg = dataclasses.replace(_obj_cfg(), model_spawn_offset=2)
+    cA = np.array([-0.25, 0.0, 1.45])
+    cB = np.array([0.42, 0.05, 1.5])
+    stepsA = [np.array([0.0, 0.0, -0.045])] * 3 + [np.array([0.02, 0, 0])] * 6
+    stepsB = [np.array([0.0, 0.0, -0.045])] * 3 + [np.array([-0.02, 0, 0])] * 6
+    frames = []
+    a, b = cA.copy(), cB.copy()
+    for i in range(len(stepsA) + 1):
+        d, rgb = synthetic.render(
+            np.eye(4, dtype=np.float32), OBJ_CAM,
+            spheres=[(tuple(a), 0.3), (tuple(b), 0.28)],
+        )
+        frames.append(FrameData(rgb=rgb.astype(np.uint8), depth=d,
+                                timestamp=int(i / 30 * 1e9)))
+        if i < len(stepsA):
+            a = a + stepsA[i]
+            b = b + stepsB[i]
+
+    engine = MultiMotionFusionTPU(cfg)
+    spawn_frames = {}
+    for i, f in enumerate(frames):
+        engine.process_frame(f)
+        act = np.asarray(engine.mstate.objects.active)
+        for k in np.nonzero(act)[0]:
+            spawn_frames.setdefault(int(k), i)
+    engine.finish()
+
+    act = np.asarray(engine.mstate.objects.active)
+    assert act[0] and act[1], f"both slots must stay active, got {act}"
+    assert len(spawn_frames) == 2
+    # the mask carries BOTH objects simultaneously on the final frame
+    m = np.asarray(engine.mstate.prev_mask)
+    assert (m == 1).sum() > 500 and (m == 2).sum() > 500
+
+    # world trajectories per slot (static camera): inv(slot_pose)
+    poses = {k: [] for k in (0, 1)}
+    for _, p, a_ in engine._obj_pose_dev:
+        a_ = np.asarray(a_)
+        for k in (0, 1):
+            if a_[k]:
+                poses[k].append(np.linalg.inv(np.asarray(p)[k])[:3, 3])
+    totals = {k: poses[k][-1] - poses[k][0] for k in (0, 1)}
+    # slot spawned FIRST saw mover A (+x); the later one is B (-x)
+    first = min(spawn_frames, key=spawn_frames.get)
+    second = 1 - first
+    tA, tB = totals[first], totals[second]
+    # B spawned after the approach phase: pure tangential, tightly tracked
+    assert abs(tB[0] + 0.12) < 0.04, tB
+    assert abs(tB[2]) < 0.02, tB
+    # A spans the approach + a global-pose transient; direction and rough
+    # magnitude must still be right
+    assert tA[0] > 0.06 and abs(tA[0] - 0.12) < 0.09, tA
+    assert -0.13 < tA[2] < -0.03, tA
+    # opposing x directions is the headline multi-object property
+    assert np.sign(tA[0]) != np.sign(tB[0])
+    # camera ends near the origin despite two movers covering ~35% of view
+    cam_t = np.asarray(engine.mstate.pose)[:3, 3]
+    assert np.linalg.norm(cam_t) < 0.06, cam_t
+    # exports cover the global trajectory + both objects
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        names = [p.split("/")[-1] for p in engine.export_poses(d)]
+        assert "poses-0.txt" in names and len(names) >= 3
+
+
 def test_unseen_patience_deactivates_on_schedule():
     """A tracked mover that vanishes must be deactivated after EXACTLY
     `model_unseen_patience` zero-pixel frames (deviation pin: the reference
