@@ -179,6 +179,15 @@ class ControlServer:
         if cmd == "set_segm_mode":
             e.set_segm_mode(msg.get("mode", "flow_crf"))
             return {"ok": True}
+        if cmd == "set_segm_param":
+            # live CRF tuning (the reference GUI's parameter panel,
+            # MainController.cpp:643-670)
+            e.set_segm_param(msg["name"], msg["value"])
+            return {"ok": True}
+        if cmd == "get_config":
+            from multimotionfusion_tpu.engine import dataclasses_asdict_safe
+
+            return {"ok": True, "config": dataclasses_asdict_safe(e.cfg)}
         if cmd == "inhibit_new_models":
             e.set_inhibit_new_models(bool(msg.get("inhibit", True)))
             return {"ok": True}

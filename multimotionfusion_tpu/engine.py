@@ -1192,6 +1192,30 @@ class MultiMotionFusionTPU:
             )
         )
 
+    def set_segm_param(self, name: str, value):
+        """Live-tune one segmentation knob (the reference GUI pushes the CRF
+        parameter panel into Segmentation every frame, MainController.cpp:
+        643-670). Numeric fields of SegmentationConfig only; a changed value
+        recompiles the frame step once (params are compile-time constants in
+        the jitted program — the persistent cache makes repeat values free)."""
+        import dataclasses
+
+        seg = self.cfg.segmentation
+        fields = {f.name: f.type for f in dataclasses.fields(seg)}
+        if name not in fields or name == "mode":
+            raise ValueError(f"unknown segmentation parameter '{name}'")
+        old = getattr(seg, name)
+        if not isinstance(old, (int, float)) or isinstance(old, bool):
+            raise ValueError(f"parameter '{name}' is not numeric")
+        self.cfg = _normalize_cfg(
+            dataclasses.replace(
+                self.cfg,
+                segmentation=dataclasses.replace(
+                    seg, **{name: type(old)(value)}
+                ),
+            )
+        )
+
     def set_inhibit_new_models(self, inhibit: bool):
         import dataclasses
 

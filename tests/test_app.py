@@ -98,6 +98,21 @@ def test_control_server_roundtrip():
         assert engine.tick != 1  # not yet applied
         srv.apply_pending()
         assert engine.tick == 1
+        # live CRF tuning (reference GUI parameter panel)
+        r = control.send_command(
+            {"cmd": "set_segm_param", "name": "velocity_threshold",
+             "value": 35.0}, port=srv.port,
+        )
+        assert r["ok"] and engine.cfg.segmentation.velocity_threshold == 35.0
+        r = control.send_command(
+            {"cmd": "set_segm_param", "name": "mode", "value": 1},
+            port=srv.port,
+        )
+        assert not r["ok"]  # mode is not a numeric knob
+        r = control.send_command({"cmd": "get_config"}, port=srv.port)
+        assert r["ok"]
+        assert r["config"]["segmentation"]["velocity_threshold"] == 35.0
+        assert r["config"]["camera"]["width"] == CAM.width
         r = control.send_command({"cmd": "bogus"}, port=srv.port)
         assert not r["ok"]
     finally:
