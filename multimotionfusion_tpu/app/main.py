@@ -233,6 +233,12 @@ def main(argv=None) -> int:
         reader = SlicedLogReader(
             reader, args.skip_start, args.end_frame, args.skip_interval
         )
+    # decode ahead of the engine on a background thread (the reference's
+    # ImageLogReader buffering thread); live/synthetic sources don't decode
+    if args.image_dir or args.basedir or args.log.endswith((".bag", ".klg")):
+        from multimotionfusion_tpu.io.readers import PrefetchReader
+
+        reader = PrefetchReader(reader)
 
     gt_odom = None
     if args.gt_poses:

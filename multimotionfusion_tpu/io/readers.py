@@ -181,6 +181,56 @@ class ImageLogReader(LogReader):
             )
 
 
+class PrefetchReader(LogReader):
+    """Decode frames on a background thread, a bounded queue ahead.
+
+    == the reference ImageLogReader's buffering thread (ImageLogReader.cpp:
+    `bufferImages` on a std::thread; the frame loop consumes from the ring):
+    PNG/EXR/JPEG decode otherwise serialises with the engine's host work.
+    Wraps ANY inner reader; iteration order and contents are unchanged.
+    Decode errors surface on the consumer side at the failing frame.
+    """
+
+    def __init__(self, inner: LogReader, depth: int = 4):
+        self.inner = inner
+        self.depth = depth
+
+    def __len__(self) -> int:
+        return len(self.inner)
+
+    def intrinsics(self) -> Optional[CameraModel]:
+        return self.inner.intrinsics()
+
+    def get_incremental_transformation(self, ts):
+        fn = getattr(self.inner, "get_incremental_transformation", None)
+        return fn(ts) if fn else None
+
+    def __iter__(self) -> Iterator[FrameData]:
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=self.depth)
+        _END = object()
+
+        def pump():
+            try:
+                for f in self.inner:
+                    q.put(f)
+                q.put(_END)
+            except BaseException as e:  # propagate decode errors to consumer
+                q.put(e)
+
+        t = threading.Thread(target=pump, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+
 class SyntheticLogReader(LogReader):
     """Procedural RGB-D sequence with known camera (and object) trajectory."""
 

@@ -112,6 +112,36 @@ def test_klg_reader(tmp_path):
     assert frames[0].rgb[0, 0, 2] == 255 and frames[0].rgb[0, 0, 0] == 0
 
 
+def test_prefetch_reader_transparent():
+    """PrefetchReader (the reference ImageLogReader's buffering thread) must
+    be invisible: same frames, same order, errors surfaced at the consumer."""
+    from multimotionfusion_tpu.io.readers import PrefetchReader
+
+    inner = SyntheticLogReader(CAM, num_frames=6, cam_step=(0.002, 0, 0))
+    direct = list(inner)
+    pre = list(PrefetchReader(inner, depth=2))
+    assert len(pre) == len(direct) == 6
+    for a, b in zip(direct, pre):
+        assert a.timestamp == b.timestamp
+        np.testing.assert_array_equal(a.rgb, b.rgb)
+        np.testing.assert_array_equal(a.depth, b.depth)
+    assert len(PrefetchReader(inner)) == 6
+
+    class Boom(SyntheticLogReader):
+        def __iter__(self):
+            it = super().__iter__()
+            yield next(it)
+            raise RuntimeError("decode failed")
+
+    import pytest
+
+    got = []
+    with pytest.raises(RuntimeError, match="decode failed"):
+        for f in PrefetchReader(Boom(CAM, num_frames=3)):
+            got.append(f)
+    assert len(got) == 1  # frames before the failure still arrive
+
+
 def test_open_log_dispatch(tmp_path):
     r = open_log("synthetic", CAM)
     assert isinstance(r, SyntheticLogReader)
