@@ -166,5 +166,47 @@ def main() -> int:
     return 0
 
 
+def _resilient_main() -> int:
+    """Retry wrapper: the remote-TPU tunnel goes down for stretches and can
+    flap MID-RUN; a failed backend poisons the process (jax caches the init
+    error), so each attempt is a fresh subprocess. The LAST stdout line is
+    the JSON result; retries print progress to stderr only."""
+    import os
+    import subprocess
+
+    if os.environ.get("MMF_BENCH_INNER") == "1":
+        return main()
+    attempts = int(os.environ.get("MMF_BENCH_ATTEMPTS", "4"))
+    wait_s = float(os.environ.get("MMF_BENCH_RETRY_WAIT", "120"))
+    # generous: a cold machine compiles every program through the tunnel;
+    # a HALF-down tunnel hangs backend init forever, so a timeout is load-
+    # bearing, not just tidy
+    att_timeout = float(os.environ.get("MMF_BENCH_ATTEMPT_TIMEOUT", "2400"))
+    env = {**os.environ, "MMF_BENCH_INNER": "1"}
+    for k in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                timeout=att_timeout,
+            )
+            rc, out, errtail = r.returncode, r.stdout, (r.stderr or r.stdout)
+        except subprocess.TimeoutExpired as e:
+            rc, out = -1, (e.stdout or "")
+            errtail = f"timed out after {att_timeout}s"
+        lines = [ln for ln in str(out).splitlines() if ln.strip()]
+        if rc == 0 and lines:
+            print(lines[-1])
+            return 0
+        sys.stderr.write(
+            f"bench attempt {k + 1}/{attempts} failed (rc={rc}); "
+            f"tail: {str(errtail)[-400:]}\n"
+        )
+        if k + 1 < attempts:
+            time.sleep(wait_s)
+    return 1
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(_resilient_main())
