@@ -114,34 +114,42 @@ def bench_multi_model(n_objects: int = 5, trials: int = 3, per_trial: int = 15):
     bucket = cfg.surfels.max_surfels
 
     # pre-render the trial frames (IO excluded from timing)
-    n = 2 + trials * per_trial
+    n = 5 + trials * per_trial
     frames = []
     for i in range(n):
         T = synthetic.pose((0.0, 0.0015 * i, 0.0), (0.003 * i, 0.0, 0.0))
         depth, rgb = synthetic.render(T, cam)
         frames.append((jnp.asarray(rgb), jnp.asarray(depth)))
 
-    t = 2
-    for rgb, depth in frames[:2]:  # warm the program
-        state, stats, _, _ = em.multi_frame_step(
-            state, rgb, depth, None, t, 1.0, eng.sp_params, cam, cfg, bucket
-        )
-        t += 1
-    jax.block_until_ready(state.pose)
+    batch = 5  # frames per device dispatch (amortises tunnel round-trips)
+
+    def run_batched(chunk, t):
+        for i in range(0, len(chunk), batch):
+            sub = chunk[i : i + batch]
+            rgbs = jnp.stack([c[0] for c in sub])
+            depths = jnp.stack([c[1] for c in sub])
+            out = em.multi_frame_steps_batch(
+                st[0], rgbs, depths, None, t, 1.0, eng.sp_params, cam, cfg,
+                bucket,
+            )
+            st[0] = out[0]
+            t += len(sub)
+        return t
+
+    st = [state]
+    t = run_batched(frames[:batch], 2)  # warm the program
+    jax.block_until_ready(st[0].pose)
 
     fps = []
-    pos = 2
+    pos = batch
     for _ in range(trials):
+        chunk = frames[pos : pos + per_trial]
         t0 = time.time()
-        for rgb, depth in frames[pos : pos + per_trial]:
-            state, stats, _, _ = em.multi_frame_step(
-                state, rgb, depth, None, t, 1.0, eng.sp_params, cam, cfg, bucket
-            )
-            t += 1
-        jax.block_until_ready(state.pose)
+        t = run_batched(chunk, t)
+        jax.block_until_ready(st[0].pose)
         fps.append(per_trial / (time.time() - t0))
         pos += per_trial
-    n_active = int(np.sum(np.asarray(state.objects.active)))
+    n_active = int(np.sum(np.asarray(st[0].objects.active)))
     return max(fps), statistics.median(fps), n_active
 
 

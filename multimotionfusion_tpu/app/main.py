@@ -268,7 +268,12 @@ def main(argv=None) -> int:
         n = args.frames if args.frames is not None else (1 << 31)
     else:
         n = n_len if args.frames is None else min(args.frames, n_len)
-    if args.batch > 1 and args.static and not args.rt and args.odom_init != "tf":
+    batch_ok = args.static or (
+        # multi-model batching: the whole lifecycle is in-graph, so batches
+        # only exclude modes that need per-frame host input (external masks)
+        args.segm_mode != "precomputed"
+    )
+    if args.batch > 1 and batch_ok and not args.rt and args.odom_init != "tf":
         # offline batched path: k frames per device dispatch
         t_start = _time.time()
         frames_iter = iter(reader)

@@ -426,7 +426,14 @@ def _frame_steps_batch(state, rgbs, depths, time0, weight_multiplier,
     round-trip comparable to the device step itself; scanning k frames inside
     ONE executable amortises it k-fold. Static mode only takes per-frame host
     input (no masks, no gt), so the scan is semantically identical to k
-    single steps."""
+    single steps.
+
+    Carry slimming: lax.scan double-buffers its carry, so every iteration
+    pays a copy of whatever rides in it. The surfel array enters at BUCKET
+    size (the full-capacity array is written back once after the scan) and
+    the fern keyframe store is hoisted out entirely when reloc/loop-closure
+    is off (it is pass-through then) — together ~150 MB that would otherwise
+    be copied per frame (~3 ms/frame measured)."""
     zero_mask = jnp.zeros((cam.height, cam.width), jnp.int32)
 
     def body(st, inp):
@@ -437,17 +444,32 @@ def _frame_steps_batch(state, rgbs, depths, time0, weight_multiplier,
         )
         return st2, (stats, st2.pose)
 
+    full_data = state.smap.data
+    hoist_ferns = not (cfg.reloc_mode or cfg.close_loops)
+    real_ferns = state.ferns
+    carry = state._replace(smap=state.smap.bucketed(bucket_fuse))
+    if hoist_ferns:
+        carry = carry._replace(ferns=ferns_mod.stub(real_ferns))
+
     k = rgbs.shape[0]
     xs = (rgbs, depths, uvs, jnp.arange(k, dtype=jnp.int32))
     if uvs is None:
         def body_nouv(st, inp):
             rgb_u8, depth_raw, dt = inp
             return body(st, (rgb_u8, depth_raw, None, dt))
-        state, (stats, poses) = jax.lax.scan(
-            body_nouv, state, (rgbs, depths, jnp.arange(k, dtype=jnp.int32))
+        carry, (stats, poses) = jax.lax.scan(
+            body_nouv, carry, (rgbs, depths, jnp.arange(k, dtype=jnp.int32))
         )
     else:
-        state, (stats, poses) = jax.lax.scan(body, state, xs)
+        carry, (stats, poses) = jax.lax.scan(body, carry, xs)
+    state = carry._replace(
+        smap=sm.SurfelMap(
+            data=full_data.at[:, :bucket_fuse].set(carry.smap.data),
+            count=carry.smap.count,
+        )
+    )
+    if hoist_ferns:
+        state = state._replace(ferns=real_ferns)
     return state, stats, poses
 
 
@@ -557,6 +579,29 @@ class MultiMotionFusionTPU:
                 out.append((ts, np.asarray(p)))
         return out
 
+    def _expand_lifecycle_logs(self):
+        """Expand batched (ts is a list) entries of the object-pose and spawn
+        logs into per-frame numpy entries, in place.
+
+        Entries before the event cursor are already per-frame (they were
+        expanded during a previous drain), so expansion never renumbers what
+        the cursor has consumed."""
+
+        def expand(entries):
+            out = []
+            for e in entries:
+                if isinstance(e[0], list):
+                    arrs = [np.asarray(x) for x in e[1:]]
+                    out.extend(
+                        (t, *(a[i] for a in arrs)) for i, t in enumerate(e[0])
+                    )
+                else:
+                    out.append(e)
+            return out
+
+        self._obj_pose_dev = expand(self._obj_pose_dev)
+        self._spawn_dev = expand(self._spawn_dev)
+
     def _buckets(self, k_ahead: int = 1):
         """Pick work buckets from a (possibly stale) high-water mark.
 
@@ -641,6 +686,14 @@ class MultiMotionFusionTPU:
                         mstate, rgb_u8, depth_raw, uv, tick, 1.0, sp, cam,
                         cfg, nxt, ext_mask=mask,
                     )
+                elif kind == "multi_batch":
+                    from multimotionfusion_tpu import engine_multi as em
+
+                    rgbs, depths, uvs = args
+                    em.multi_frame_steps_batch(
+                        mstate, rgbs, depths, uvs, tick, 1.0, sp, cam, cfg,
+                        nxt,
+                    )
                 elif kind == "batch":
                     rgbs, depths, uvs = args
                     _frame_steps_batch(
@@ -713,11 +766,19 @@ class MultiMotionFusionTPU:
         else:
             staged = None
         if (
-            self.cfg.enable_multi_model
-            or self.state is None
+            self.state is None
             or len(frames) == 1
             or self.cfg.odom_init == "tf"
+            or (
+                self.cfg.enable_multi_model
+                and (
+                    self.cfg.segmentation.mode == "precomputed"
+                    or any(f.mask is not None for f in frames)
+                )
+            )
         ):
+            # per-frame host input required (first frame, gt poses, external
+            # masks): fall back to frame-at-a-time processing
             for f in frames:
                 self.process_frame(f, weight_multiplier=weight_multiplier)
             return self.current_stats(sync=False)
@@ -727,6 +788,38 @@ class MultiMotionFusionTPU:
         rgbs, depths = arrs[0], arrs[1]
         uvs = arrs[2] if len(arrs) == 3 else None
         bucket_fuse, bucket_pred = self._buckets(k_ahead=len(frames))
+        if self.cfg.enable_multi_model:
+            from multimotionfusion_tpu import engine_multi as em
+
+            (
+                self.mstate, stats, poses, obj_poses, obj_active,
+                spawns, slots, refine_Ts,
+            ) = em.multi_frame_steps_batch(
+                self.mstate, rgbs, depths, uvs, self.tick,
+                weight_multiplier, self.sp_params, self.cam, self.cfg,
+                bucket_fuse,
+            )
+            self._last_args = ("multi_batch", (rgbs, depths, uvs))
+            self.last_mask = self.mstate.prev_mask
+            self._maybe_prewarm()
+            st = self.mstate
+            self.state = GlobalState(
+                smap=st.smap, pose=st.pose, prev_pose=st.prev_pose,
+                filled=st.filled,
+                last_intensity_coarse=st.last_intensity_coarse,
+                tracks=st.tracks, rng=st.rng, ferns=st.ferns,
+                bad_track_count=st.bad_track_count, lost=st.lost,
+                pose_matches=self.state.pose_matches,
+            )
+            stamps = [f.timestamp for f in frames]
+            # batched records (ts is a list) — expanded lazily at fetch time
+            # like _pose_dev, so no per-frame device slicing happens here
+            self._obj_pose_dev.append((stamps, obj_poses, obj_active))
+            self._spawn_dev.append((stamps, spawns, slots, refine_Ts))
+            self._stats_dev.append(stats)
+            self._pose_dev.append((stamps, poses))
+            self.tick += len(frames)
+            return self.current_stats(sync=False)
         self.state, stats, poses = _frame_steps_batch(
             self.state, rgbs, depths, self.tick, weight_multiplier,
             self.sp_params, self.cam, self.cfg, bucket_fuse, bucket_pred, uvs,
@@ -900,6 +993,7 @@ class MultiMotionFusionTPU:
         frame loop stays sync-free until someone actually asks for events.
         """
         events: List[Dict] = []
+        self._expand_lifecycle_logs()
         log = self._obj_pose_dev
         while self._event_cursor < len(log):
             i = self._event_cursor
@@ -1091,6 +1185,7 @@ class MultiMotionFusionTPU:
         # object-slot trajectories (multi-model mode): only ticks where the
         # slot was active contribute
         if self._obj_pose_dev:
+            self._expand_lifecycle_logs()
             n_slots = self.cfg.object_slots
             obj_logs = {k: [] for k in range(n_slots)}
             for ts, poses, active in self._obj_pose_dev:

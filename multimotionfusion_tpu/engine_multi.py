@@ -837,3 +837,73 @@ def multi_frame_step(
         spawn=spawn, redetect=any_red, slot=target_slot, refine_T=refine_T
     )
     return new_state, stats, mask, aux
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg", "bucket_fuse"))
+def multi_frame_steps_batch(
+    state: MultiState,
+    rgbs,
+    depths,
+    uvs,
+    time0,
+    weight_multiplier,
+    sp_params,
+    cam: CameraModel,
+    cfg: EngineConfig,
+    bucket_fuse: int,
+):
+    """k multi-model frames in ONE device dispatch via lax.scan.
+
+    Same amortisation as the static-mode _frame_steps_batch: on a remote
+    (tunnelled) backend each executable launch costs a host round-trip
+    comparable to the device step, so scanning k frames inside one
+    executable amortises it k-fold. The multi-model step takes no per-frame
+    host input outside precomputed-mask mode (lifecycle is in-graph), so the
+    scan is semantically identical to k single steps. The final segmentation
+    mask is state.prev_mask; per-frame lifecycle records (object poses,
+    active masks, spawn aux) come back stacked for lazy host expansion.
+    """
+
+    def body(carry, inp):
+        st, t = carry
+        rgb_u8, depth_raw, uv = inp
+        st2, stats, _mask, aux = multi_frame_step(
+            st, rgb_u8, depth_raw, uv, t, weight_multiplier, sp_params,
+            cam, cfg, bucket_fuse,
+        )
+        out = (
+            stats, st2.pose, st2.objects.pose, st2.objects.active,
+            aux.spawn, aux.slot, aux.refine_T,
+        )
+        return (st2, t + 1), out
+
+    # carry slimming (see engine._frame_steps_batch): the global surfel array
+    # enters at bucket size and the fern keyframe store is hoisted out when
+    # reloc is off — lax.scan double-buffers its carry, so anything big and
+    # pass-through in it costs a per-frame copy
+    full_data = state.smap.data
+    hoist_ferns = not cfg.reloc_mode
+    real_ferns = state.ferns
+    state = state._replace(smap=state.smap.bucketed(bucket_fuse))
+    if hoist_ferns:
+        state = state._replace(ferns=ferns_mod.stub(real_ferns))
+
+    k = rgbs.shape[0]
+    if uvs is None:
+        def body_nouv(carry, inp):
+            rgb_u8, depth_raw = inp
+            return body(carry, (rgb_u8, depth_raw, None))
+
+        (state, _), outs = jax.lax.scan(body_nouv, (state, time0), (rgbs, depths))
+    else:
+        (state, _), outs = jax.lax.scan(body, (state, time0), (rgbs, depths, uvs))
+    state = state._replace(
+        smap=sm.SurfelMap(
+            data=full_data.at[:, :bucket_fuse].set(state.smap.data),
+            count=state.smap.count,
+        )
+    )
+    if hoist_ferns:
+        state = state._replace(ferns=real_ferns)
+    stats, poses, obj_poses, obj_active, spawns, slots, refine_Ts = outs
+    return state, stats, poses, obj_poses, obj_active, spawns, slots, refine_Ts
