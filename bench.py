@@ -82,23 +82,24 @@ def bench_static(trials: int = 4, per_trial: int = 20):
 
 
 def bench_multi_model(n_objects: int = 5, trials: int = 3, per_trial: int = 15):
-    """Full multi-model frame step with n_objects active slots at 640x480.
+    """Full multi-model pipeline with n_objects ORGANICALLY SPAWNED movers.
 
-    State construction (active slots holding real surfel maps of scene
-    regions) comes from parallel.dryrun; the timed loop then runs the REAL
-    jitted multi_frame_step end-to-end, stepping state forward over freshly
-    rendered frames with a slowly-moving camera.
+    Honest version of the BASELINE.md north-star config (>= 30 FPS with >= 5
+    simultaneous object models at 640x480): five spheres orbit on small
+    circles (continuous ~5 px/frame motion, never leaving view), the engine
+    spawns a model for each through its own flow-CRF + cool-down (one per
+    spawn window, like the reference), and the timed trials then run the
+    production batched step with all five models actively tracked, segmented
+    and fused. Per-trial active counts are returned so a decaying workload
+    cannot masquerade as the target configuration (round-2's force-activated
+    strip state decayed to 3 movers mid-bench).
     """
-    import dataclasses
-
-    import jax
-    import jax.numpy as jnp
     import numpy as np
 
-    from multimotionfusion_tpu import engine_multi as em
     from multimotionfusion_tpu.config import CameraModel, EngineConfig, SurfelConfig
+    from multimotionfusion_tpu.engine import MultiMotionFusionTPU
     from multimotionfusion_tpu.io import synthetic
-    from multimotionfusion_tpu.parallel import dryrun
+    from multimotionfusion_tpu.io.frame import FrameData
 
     cam = CameraModel()
     cfg = EngineConfig(
@@ -107,55 +108,78 @@ def bench_multi_model(n_objects: int = 5, trials: int = 3, per_trial: int = 15):
         object_slots=n_objects,
         object_capacity=1 << 16,
         surfels=SurfelConfig(max_surfels=1 << 19),
+        model_spawn_offset=4,  # 5 organic spawns inside a short warmup
         upload_yuv420=False,
         upload_depth_mm=False,
     )
-    eng, state, _, _ = dryrun.build_state(cfg)
-    bucket = cfg.surfels.max_surfels
-
-    # pre-render the trial frames (IO excluded from timing)
-    n = 5 + trials * per_trial
+    centres = [
+        np.array([-0.62, -0.18, 1.65]),
+        np.array([0.62, -0.18, 1.65]),
+        np.array([-0.4, 0.4, 1.6]),
+        np.array([0.4, 0.4, 1.6]),
+        np.array([0.0, -0.45, 1.7]),
+    ][:n_objects]
+    radius = 0.24
+    orbit_r, omega = 0.12, 0.12  # ~1.4 cm/frame tangential speed (~5 px)
+    warmup = 8 + 4 * n_objects  # spawn cool-down windows + settling
+    n_frames = warmup + trials * per_trial
     frames = []
-    for i in range(n):
-        T = synthetic.pose((0.0, 0.0015 * i, 0.0), (0.003 * i, 0.0, 0.0))
-        depth, rgb = synthetic.render(T, cam)
-        frames.append((jnp.asarray(rgb), jnp.asarray(depth)))
-
-    batch = 5  # frames per device dispatch (amortises tunnel round-trips)
-
-    def run_batched(chunk, t):
-        for i in range(0, len(chunk), batch):
-            sub = chunk[i : i + batch]
-            rgbs = jnp.stack([c[0] for c in sub])
-            depths = jnp.stack([c[1] for c in sub])
-            out = em.multi_frame_steps_batch(
-                st[0], rgbs, depths, None, t, 1.0, eng.sp_params, cam, cfg,
-                bucket,
+    for i in range(n_frames):
+        th = omega * i
+        spheres = [
+            (
+                tuple(
+                    c + orbit_r * np.array(
+                        [np.cos(th + k * 1.3), np.sin(th + k * 1.3), 0.0]
+                    )
+                ),
+                radius,
             )
-            st[0] = out[0]
-            t += len(sub)
-        return t
+            for k, c in enumerate(centres)
+        ]
+        depth, rgb = synthetic.render(
+            np.eye(4, dtype=np.float32), cam, spheres=spheres
+        )
+        frames.append(
+            FrameData(rgb=rgb.astype(np.uint8), depth=depth,
+                      timestamp=int(i / 30 * 1e9))
+        )
 
-    st = [state]
-    t = run_batched(frames[:batch], 2)  # warm the program
-    jax.block_until_ready(st[0].pose)
+    engine = MultiMotionFusionTPU(cfg)
+    batch = 5  # frames per device dispatch (amortises tunnel round-trips)
+    engine.process_frame(frames[0])
+    for i in range(1, warmup, batch):
+        engine.process_frames(frames[i : i + batch])
+    engine.finish()
+    active0 = int(np.sum(np.asarray(engine.mstate.objects.active)))
 
-    fps = []
-    pos = batch
+    fps, active_per_trial = [], []
+    pos = warmup
     for _ in range(trials):
         chunk = frames[pos : pos + per_trial]
-        t0 = time.time()
-        t = run_batched(chunk, t)
-        jax.block_until_ready(st[0].pose)
-        fps.append(per_trial / (time.time() - t0))
         pos += per_trial
-    n_active = int(np.sum(np.asarray(st[0].objects.active)))
-    return max(fps), statistics.median(fps), n_active
+        batches = [chunk[i : i + batch] for i in range(0, len(chunk), batch)]
+        handle = engine.upload_batch(batches[0])
+        t0 = time.time()
+        for i, b in enumerate(batches):
+            nxt = (
+                engine.upload_batch(batches[i + 1])
+                if i + 1 < len(batches)
+                else None
+            )
+            engine.process_frames(handle)
+            handle = nxt
+        engine.finish()
+        fps.append(per_trial / (time.time() - t0))
+        active_per_trial.append(
+            int(np.sum(np.asarray(engine.mstate.objects.active)))
+        )
+    return max(fps), statistics.median(fps), active0, active_per_trial
 
 
 def main() -> int:
     best, med = bench_static()
-    mm_best, mm_med, mm_active = bench_multi_model()
+    mm_best, mm_med, mm_active0, mm_active_per_trial = bench_multi_model()
     print(
         json.dumps(
             {
@@ -166,7 +190,11 @@ def main() -> int:
                 "median": round(med, 3),
                 "multi_model_5obj_fps": round(mm_best, 3),
                 "multi_model_5obj_median": round(mm_med, 3),
-                "multi_model_active_objects": mm_active,
+                "multi_model_active_after_warmup": mm_active0,
+                "multi_model_active_per_trial": mm_active_per_trial,
+                "multi_model_active_objects": min(
+                    [mm_active0] + mm_active_per_trial
+                ),
                 "multi_model_vs_baseline": round(mm_best / 30.0, 4),
             }
         )

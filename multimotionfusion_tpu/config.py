@@ -275,8 +275,9 @@ class EngineConfig:
     # multi-model capacities: object models live in fixed device-resident
     # slots (spawn/deactivate flips an active flag — no recompilation, unlike
     # growing the reference's model list); the reference allows up to 256
-    # models with 1024^2 surfels each, bounded only by GPU memory
-    object_slots: int = 3
+    # models with 1024^2 surfels each, bounded only by GPU memory. Default 5
+    # slots = the BASELINE.md north-star config (>= 5 simultaneous objects).
+    object_slots: int = 5
     object_capacity: int = 1 << 16
 
     # pipeline switches (reference CLI flags, MainController.cpp:40-122)

@@ -551,6 +551,7 @@ class MultiMotionFusionTPU:
         self._last_args = None  # (kind, frame arrays) for bucket prewarming
         self._prewarmed: set = set()  # bucket rungs already compiled ahead
         self.last_mask = None  # latest segmentation (device; '-es' export)
+        self._mask_dev = None  # (stamps, [k, H, W]) masks of the last batch
         # model lifecycle listener registry (reference Core/Callbacks.h
         # CallbackBuffer; addNewModelListener/addInactiveModelListener,
         # MultiMotionFusion.h:300-303)
@@ -793,7 +794,7 @@ class MultiMotionFusionTPU:
 
             (
                 self.mstate, stats, poses, obj_poses, obj_active,
-                spawns, slots, refine_Ts,
+                spawns, slots, refine_Ts, masks,
             ) = em.multi_frame_steps_batch(
                 self.mstate, rgbs, depths, uvs, self.tick,
                 weight_multiplier, self.sp_params, self.cam, self.cfg,
@@ -801,6 +802,9 @@ class MultiMotionFusionTPU:
             )
             self._last_args = ("multi_batch", (rgbs, depths, uvs))
             self.last_mask = self.mstate.prev_mask
+            # per-frame masks ride back stacked ([k, H, W] u8) so batched and
+            # single-frame paths expose identical '-es' exports
+            self._mask_dev = (list([f.timestamp for f in frames]), masks)
             self._maybe_prewarm()
             st = self.mstate
             self.state = GlobalState(
@@ -809,7 +813,7 @@ class MultiMotionFusionTPU:
                 last_intensity_coarse=st.last_intensity_coarse,
                 tracks=st.tracks, rng=st.rng, ferns=st.ferns,
                 bad_track_count=st.bad_track_count, lost=st.lost,
-                pose_matches=self.state.pose_matches,
+                pose_matches=st.pose_matches,
             )
             stamps = [f.timestamp for f in frames]
             # batched records (ts is a list) — expanded lazily at fetch time
@@ -922,6 +926,7 @@ class MultiMotionFusionTPU:
                     ferns=self.state.ferns,
                     bad_track_count=self.state.bad_track_count,
                     lost=self.state.lost,
+                    pose_matches=self.state.pose_matches,
                 )
             self._hwm = int(self.state.smap.count)
             self._hwm_tick = 1
@@ -945,7 +950,8 @@ class MultiMotionFusionTPU:
                 tracks=self.mstate.tracks, rng=self.mstate.rng,
                 ferns=self.mstate.ferns,
                 bad_track_count=self.mstate.bad_track_count,
-                lost=self.mstate.lost, pose_matches=self.state.pose_matches,
+                lost=self.mstate.lost,
+                pose_matches=self.mstate.pose_matches,
             )
             self._obj_pose_dev.append(
                 (frame.timestamp, self.mstate.objects.pose,
@@ -1028,6 +1034,18 @@ class MultiMotionFusionTPU:
                 fn(ev)
         return events
 
+    def batch_masks(self):
+        """Per-frame segmentation masks of the LAST batched multi-model call
+        as [(timestamp, [H, W] uint8 ndarray), ...]; empty if the last call
+        was single-frame (use last_mask then). Keeps '-es' exports identical
+        between the batched and single-frame paths (the scan stacks every
+        frame's mask, not just the final one)."""
+        if self._mask_dev is None:
+            return []
+        stamps, masks = self._mask_dev
+        arr = np.asarray(masks)
+        return list(zip(stamps, arr))
+
     def pose_matches(self) -> List[Dict]:
         """Loop-closure PoseMatch records (reference Core/PoseMatch.h), newest
         last; at most MatchLog.capacity retained."""
@@ -1102,7 +1120,9 @@ class MultiMotionFusionTPU:
 
     # v2: GlobalState grew the loop-closure PoseMatch log
     # v3: ObjectSlots grew conf_t + max_depth; MultiState dropped pred_depth
-    CKPT_VERSION = 3
+    # v4: composite multi-model redesign — ObjectSlots dropped the per-slot
+    #     [S, H, W] prediction images; MultiState grew pose_matches
+    CKPT_VERSION = 4
 
     def save_checkpoint(self, path: str) -> str:
         import pickle

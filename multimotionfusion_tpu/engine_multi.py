@@ -11,18 +11,33 @@ heap-allocated Model objects):
   `active` mask); spawning writes into a free slot and deactivation clears a
   flag — all inside the jitted frame step, with no host round-trip and no
   recompilation (the reference's host decides these on downloaded scalars);
-- per-object tracking and fusion are vmapped over the slot axis, which is
-  also the axis `parallel/` shards across chips;
-- the segmentation mask used for masked odometry is the PREVIOUS frame's
-  (the reference's MASK texture also still holds it at odometry time).
+- the segmentation mask PARTITIONS pixels between models, so every
+  image-sized pass runs ONCE as a composite over all models instead of
+  (1 + S) times (the round-2 design vmapped the reference's per-model loop;
+  at 5 slots that paid ~6 full images of tracking/render/fuse per frame):
+  * tracking: one GN pass solves ALL models (odometry/multi.py);
+  * prediction/fusion/clean: one owner-partitioned index map over the
+    CONCATENATED (flat) surfel storage (rasterize.predict_indices_flat,
+    fusion.fuse_flat / clean_flat);
+  * only the segmentation's reprojection term needs every model's depth at
+    every pixel — rendered per model at CRF scale in one offset scatter
+    (rasterize.render_model_depths);
+- the mask used for masked odometry is the PREVIOUS frame's (the
+  reference's MASK texture also still holds it at odometry time).
 
 Object-model conventions follow the reference: slot k owns mask id k+1; a
 new model's pose starts at identity so its map frame is the camera frame at
 spawn; the exported object trajectory is P_0 P_m^-1 (exportPoses).
+
+The legacy CoFusion CRF mode ("crf") needs per-model ICP error images over
+the WHOLE image (Segmentation.cpp:212-332) which the owner-composite cannot
+produce, so it keeps the round-2 per-slot path (_multi_frame_step_legacy) —
+a parity feature, not the performance path.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import NamedTuple
 
@@ -31,9 +46,10 @@ import jax.numpy as jnp
 
 from multimotionfusion_tpu.config import CameraModel, EngineConfig
 from multimotionfusion_tpu.model import ferns as ferns_mod
-from multimotionfusion_tpu.model import fusion, surfel_map as sm
+from multimotionfusion_tpu.model import fusion, loop_closure, surfel_map as sm
 from multimotionfusion_tpu.model.fillin import FilledMaps, fill_in
 from multimotionfusion_tpu.odometry import levels as lv
+from multimotionfusion_tpu.odometry import multi as modo_mod
 from multimotionfusion_tpu.odometry import rgbd
 from multimotionfusion_tpu.ops import image as imops
 from multimotionfusion_tpu.ops import ransac as ransac_ops
@@ -66,11 +82,6 @@ class ObjectSlots(NamedTuple):
     # fused into it — THE guard against background contamination of object
     # maps (a spawn mask's coarse fringe always includes background pixels).
     max_depth: jnp.ndarray  # [S] float32
-    # per-slot prediction for the next frame's tracking (no fill-in; the
-    # reference only fills in the global model, Model::performFillIn)
-    pred_vertex_conf: jnp.ndarray  # [S, H, W, 4]
-    pred_normal_rad: jnp.ndarray  # [S, H, W, 4]
-    pred_color: jnp.ndarray  # [S, H, W, 3]
     # redetection snapshot, captured at deactivation (Model::store keeps the
     # model's track descriptors + model-local coordinates; here the snapshot
     # stays on device so re-attachment is in-graph, Model.cpp:781-874)
@@ -102,7 +113,7 @@ class MultiState(NamedTuple):
     smap: sm.SurfelMap  # global model (id 0)
     pose: jnp.ndarray
     prev_pose: jnp.ndarray
-    filled: FilledMaps
+    filled: FilledMaps  # owner-composite prediction (+ global fill-in)
     last_intensity_coarse: jnp.ndarray
     tracks: tracker.TrackTable
     rng: jnp.ndarray
@@ -116,11 +127,11 @@ class MultiState(NamedTuple):
     ferns: ferns_mod.FernDB
     bad_track_count: jnp.ndarray  # [] int32 consecutive bad-covariance frames
     lost: jnp.ndarray  # [] bool
+    pose_matches: loop_closure.MatchLog  # loop-closure PoseMatch records
 
 
 def empty_objects(cfg: EngineConfig, cam: CameraModel) -> ObjectSlots:
     s = cfg.object_slots
-    h, w = cam.height, cam.width
     ks = cfg.keypoints.max_keypoints
     d = cfg.keypoints.desc_dim
     return ObjectSlots(
@@ -132,16 +143,12 @@ def empty_objects(cfg: EngineConfig, cam: CameraModel) -> ObjectSlots:
         spawn_tick=jnp.zeros((s,), jnp.int32),
         conf_t=jnp.full((s,), cfg.surfels.object_conf_threshold, jnp.float32),
         max_depth=jnp.full((s,), cfg.surfels.depth_cutoff, jnp.float32),
-        pred_vertex_conf=jnp.zeros((s, h, w, 4), jnp.float32),
-        pred_normal_rad=jnp.zeros((s, h, w, 4), jnp.float32),
-        pred_color=jnp.zeros((s, h, w, 3), jnp.float32),
         stored=jnp.zeros((s,), bool),
         stored_desc=jnp.zeros((s, ks, d), jnp.float32),
         stored_p3d=jnp.zeros((s, ks, 3), jnp.float32),
         stored_valid=jnp.zeros((s, ks), bool),
         ext_id=jnp.zeros((s,), jnp.int32),
     )
-
 
 
 def _depth_stats(mask, new_label_mask, depth, m):
@@ -215,93 +222,9 @@ def _kp_seed(tracks, time, model_sel, pose, rng, cfg, is_global: bool):
     return seeded_pose, good, rng
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cam", "cfg", "bucket_fuse")
-)
-def multi_frame_step(
-    state: MultiState,
-    rgb_u8,
-    depth_raw,
-    uv,
-    time,
-    weight_multiplier,
-    sp_params,
-    cam: CameraModel,
-    cfg: EngineConfig,
-    bucket_fuse: int,
-    ext_mask=None,  # [H, W] int32 user-provided mask ("precomputed" mode)
-):
-    """One jitted multi-model frame (tick > 1): track all models, segment,
-    spawn/deactivate, fuse, predict."""
-    from multimotionfusion_tpu.engine import (
-        _compact_pred, _detect_keypoints, _frame_inputs,
-    )
-
-    scfg = cfg.surfels
-    n_slots = state.objects.num_slots
-    h, w = cam.height, cam.width
-    rgb, depth_filt, vmap_raw, vmap_f, nmap_f = _frame_inputs(
-        rgb_u8, depth_raw, cam, cfg, uv
-    )
-    mask_prev = state.prev_mask
-    frame_pyr = lv.build_frame_pyramids(depth_filt, rgb, mask_prev, cfg.odometry)
-    intensity = frame_pyr.intensity[0]
-
-    # ---- keypoints + tracks ------------------------------------------------
-    tracks = state.tracks
-    rng = state.rng
-    kps = _detect_keypoints(intensity, cfg, sp_params)
-    kcfg = cfg.keypoints
-    tracks = tracker.add_keypoints(tracks, kps, depth_filt, time, cam, kcfg)
-    tracks = tracker.prune(tracks, time, kcfg)
-
-    # ---- global model: kp init + masked dense refinement -------------------
-    pose0 = state.pose
-    if cfg.odom_init == "kp":
-        pose0_seed, seed_ok0, rng = _kp_seed(
-            tracks, time, tracks.model_id == 0, pose0, rng, cfg, True
-        )
-    else:
-        pose0_seed = pose0
-        seed_ok0 = None
-    levels0 = lv.build_level_data(
-        frame_pyr,
-        state.filled.vertex_conf[..., :3],
-        state.filled.normal_rad[..., :3],
-        imops.rgb_to_intensity(state.filled.color),
-        cam, cfg.odometry, 0,
-    )
-    seeded = cfg.odom_init == "kp"
-    odo0 = rgbd.get_incremental_transformation(
-        state.pose, levels0, state.last_intensity_coarse, cfg.odometry, cam, 0,
-        T_init=pose0_seed if seeded else None, seeded=seeded,
-        seed_valid=seed_ok0 if seeded else None,
-    )
-    new_pose0 = odo0.pose
-
-    # ---- global-model lost detection + fern relocalisation (reloc mode) ----
-    # same mechanism as the static path (MultiMotionFusion.cpp:629-695): the
-    # reference closes loops / relocalises the GLOBAL model regardless of how
-    # many object models are active
-    from multimotionfusion_tpu.engine import _ferns_update
-
-    bad_count = state.bad_track_count
-    lost = state.lost
-    if cfg.reloc_mode:
-        cov = jnp.linalg.inv(odo0.A + jnp.eye(6, dtype=jnp.float32) * 1e-12)
-        bad = (jnp.max(jnp.diagonal(cov)) > 1e-4) | (odo0.icp_count < 100)
-        bad_count = jnp.where(bad, bad_count + 1, 0)
-        lost = lost | (bad_count > 10)
-        ferns_db, new_pose0, relocalised = _ferns_update(
-            state.ferns, rgb, vmap_f, nmap_f, new_pose0, time, lost, cam, cfg
-        )
-        lost = lost & ~relocalised
-        bad_count = jnp.where(relocalised, 0, bad_count)
-    else:
-        ferns_db = state.ferns
-
-    # ---- object models: per-slot kp init + masked dense refinement ---------
-    obj = state.objects
+def _seed_slots(obj, tracks, time, rng, cfg):
+    """Per-slot keypoint pose seeds (vmapped RANSAC; see _kp_seed)."""
+    n_slots = obj.num_slots
 
     def seed_one(slot_pose, slot_idx, key):
         sel = tracks.model_id == (slot_idx + 1)
@@ -327,169 +250,17 @@ def multi_frame_step(
         return slot_pose @ T_rel, good
 
     rng, *keys = jax.random.split(rng, n_slots + 1)
-    if cfg.odom_init == "kp":
-        obj_seeds, obj_seed_ok = jax.vmap(seed_one)(
-            obj.pose, jnp.arange(n_slots, dtype=jnp.int32), jnp.stack(keys)
-        )
-    else:
-        obj_seeds = obj.pose
-        obj_seed_ok = jnp.zeros((n_slots,), bool)
-
-    def track_one(slot_idx, slot_pose, seed_pose, seed_ok, pvc, pnr, pcol):
-        levels = lv.build_level_data(
-            frame_pyr, pvc[..., :3], pnr[..., :3],
-            imops.rgb_to_intensity(pcol), cam, cfg.odometry,
-            slot_idx + 1,
-        )
-        odo = rgbd.get_incremental_transformation(
-            slot_pose, levels, state.last_intensity_coarse, cfg.odometry, cam,
-            slot_idx + 1, T_init=seed_pose, seeded=True, seed_valid=seed_ok,
-        )
-        return odo.pose, odo.icp_count, odo.icp_error_image
-
-    obj_poses_new, obj_icp_counts, obj_icp_imgs = jax.vmap(track_one)(
-        jnp.arange(n_slots, dtype=jnp.int32), obj.pose, obj_seeds, obj_seed_ok,
-        obj.pred_vertex_conf, obj.pred_normal_rad, obj.pred_color,
+    obj_seeds, obj_seed_ok = jax.vmap(seed_one)(
+        obj.pose, jnp.arange(n_slots, dtype=jnp.int32), jnp.stack(keys)
     )
-    # inactive slots keep their pose
-    obj_poses_new = jnp.where(obj.active[:, None, None], obj_poses_new, obj.pose)
+    return obj_seeds, obj_seed_ok, rng
 
-    # ---- per-model prediction at the NEWLY tracked poses --------------------
-    # The reference segments against each model's projection at its pose as of
-    # THIS frame (Segmentation.cpp:819-862 reads model->getPose() after the
-    # odometry pass). A prediction lagged by one frame misfits a mover by
-    # exactly its per-frame motion, so a fast object would never be claimed by
-    # its own model. The global row must be the RAW model projection, not the
-    # fill-in composite: fillIn blends the live frame in, which would let the
-    # global model "explain" every pixel — movers included. These index maps /
-    # attribute images / splats are exactly what fuse/clean/predict need later,
-    # so they are computed once here and reused (claimed slots are re-predicted
-    # after spawn below).
-    sub = state.smap.bucketed(bucket_fuse)
-    im0 = rasterize.predict_indices(
-        sub, new_pose0, cam, time, scfg.time_delta, scfg.depth_cutoff
-    )
-    # winner-attribute images shared by fuse, clean and the splat resolve
-    attrs0 = rasterize.gather_attr_images(im0.data_local, im0.index)
-    # the segmentation row uses the UNGATED depth: a one-frame-old global map
-    # (surfel conf ~1 < conf_threshold 10) would otherwise render nothing and
-    # the whole image would segment as one giant outlier/new-label region
-    pred0, seg_depth0 = rasterize.splat_resolve(
-        im0, cam, scfg.conf_threshold, time, time, scfg.time_delta,
-        scfg.splat_footprint, attrs=attrs0, with_ungated_depth=True,
-    )
 
-    def predict_one(data, count, pose, conf_t, max_depth):
-        omap = sm.SurfelMap(data=data, count=count)
-        im = rasterize.predict_indices(
-            omap, pose, cam, time, scfg.time_delta, max_depth
-        )
-        at = rasterize.gather_attr_images(im.data_local, im.index)
-        pred, seg_depth = rasterize.splat_resolve(
-            im, cam, conf_t, time, time, scfg.time_delta,
-            scfg.splat_footprint, attrs=at, with_ungated_depth=True,
-        )
-        return im.index, im.data_local, at, pred, seg_depth
-
-    oidx, odl, oattrs, opred, oseg_depth = jax.vmap(predict_one)(
-        obj.data, obj.count, obj_poses_new, obj.conf_t, obj.max_depth
-    )
-    # segmentation depth: the conf-GATED projection where it has coverage
-    # (stable geometry), the ungated one as fallback (young maps whose
-    # surfels are all below the gate would otherwise render nothing and the
-    # whole image would segment as outlier). The gated-first order keeps
-    # one-shot junk from shadowing mature surfels.
-    gz0 = pred0.vertex_conf[..., 2]
-    ogz = opred.vertex_conf[..., 2]
-    seg_pred_depth = jnp.concatenate(
-        [
-            jnp.where(gz0 > 1e-6, gz0, seg_depth0)[None],
-            jnp.where(ogz > 1e-6, ogz, oseg_depth),
-        ],
-        axis=0,
-    )
-
-    # ---- segmentation ------------------------------------------------------
-    poses_prev = jnp.concatenate([state.pose[None], obj.pose], axis=0)
-    poses_new = jnp.concatenate([new_pose0[None], obj_poses_new], axis=0)
-    vel, pair_valid = _track_velocities(tracks, time, poses_prev, poses_new, cam)
-    s1 = jnp.mod(time, tracks.history)
-    txy = tracks.xy[:, s1]
-    model_active = jnp.concatenate([jnp.array([True]), obj.active])
-    allow_new = cfg.enable_model_spawning and cfg.object_slots > 0
-    reactivate = jnp.zeros((n_slots,), bool)
-    new_ext_id = jnp.zeros((), jnp.int32)
-    if cfg.segmentation.mode == "precomputed":
-        # external-mask passthrough (Segmentation.cpp:89-147): no CRF at all
-        from multimotionfusion_tpu.segmentation import precomputed as pc
-
-        xm = ext_mask if ext_mask is not None else jnp.zeros((h, w), jnp.int32)
-        pres = pc.precomputed_segmentation(
-            xm, obj.ext_id, obj.active, depth_filt,
-            cfg.segmentation.min_mask_size_px,
-        )
-        reactivate = pres.reactivate
-        new_ext_id = pres.new_ext_id
-        pdm, pds = _depth_stats(
-            pres.mask, pres.new_label_mask, depth_filt, 1 + n_slots
-        )
-        seg_res = seg.SegmentationResult(
-            mask=pres.mask,
-            new_label_mask=pres.new_label_mask,
-            has_new_label=pres.has_new_label,
-            pixel_counts=pres.pixel_counts,
-            depth_mean=pdm,
-            depth_std=pds,
-            flow=jnp.zeros((cam.height // 4, cam.width // 4, 2), jnp.float32),
-        )
-    elif cfg.segmentation.mode == "crf":
-        # legacy CoFusion mode (Segmentation::performSegmentationCRF):
-        # unaries from per-model ICP error textures + prediction confidence
-        from multimotionfusion_tpu.segmentation import legacy_crf
-
-        icp_imgs = jnp.concatenate(
-            [odo0.icp_error_image[None], obj_icp_imgs], axis=0
-        )
-        conf_imgs = jnp.concatenate(
-            [
-                state.filled.vertex_conf[None, ..., 3],
-                obj.pred_vertex_conf[..., 3],
-            ],
-            axis=0,
-        )
-        lres = legacy_crf.legacy_crf_segmentation(
-            rgb, depth_filt, icp_imgs, conf_imgs, model_active,
-            cfg.segmentation, allow_new=allow_new,
-        )
-        m_all = 1 + n_slots
-        counts = lres.pixel_counts
-        lbl = lres.mask
-        ldm, lds = _depth_stats(lbl, lres.new_label_mask, depth_filt, m_all)
-        seg_res = seg.SegmentationResult(
-            mask=lbl,
-            new_label_mask=lres.new_label_mask,
-            has_new_label=lres.has_new_label,
-            pixel_counts=counts,
-            depth_mean=ldm,
-            depth_std=lds,
-            flow=jnp.zeros(
-                (cam.height // 4, cam.width // 4, 2), jnp.float32
-            ),
-        )
-    else:
-        seg_res = seg.flow_crf_segmentation(
-            state.prev_intensity, intensity, depth_filt, seg_pred_depth,
-            model_active, txy, vel, pair_valid, cam, cfg.segmentation,
-            allow_new=allow_new,
-        )
-    # ---- redetection: try to re-attach a STORED inactive model to the new
-    # segment before spawning a fresh one (Model::getBestMatch semantics:
-    # descriptor match + RANSAC, gates error < 0.01 and > 5 inliers,
-    # Model.cpp:781-874 / MultiMotionFusion.cpp:490-559) -------------------
-    kp_p3d, kp_hasd = tracker.backproject_keypoints(kps, depth_filt, cam)
-    kxi = jnp.clip(jnp.rint(kps.xy[:, 0]).astype(jnp.int32), 0, w - 1)
-    kyi = jnp.clip(jnp.rint(kps.xy[:, 1]).astype(jnp.int32), 0, h - 1)
-    in_seg = seg_res.new_label_mask[kyi, kxi] & kps.valid & kp_hasd
+def _redetect(obj, kps, kp_p3d, in_seg, rng, cfg):
+    """Try to re-attach STORED inactive models to the new segment
+    (Model::getBestMatch: descriptor match + RANSAC, gates error < 0.01 and
+    > 5 inliers, Model.cpp:781-874 / MultiMotionFusion.cpp:490-559)."""
+    n_slots = obj.num_slots
 
     def redetect_one(sdesc, sp3d, svalid, key):
         match_idx, _ = tracker.mutual_match(
@@ -524,6 +295,254 @@ def multi_frame_step(
     red_ok, red_err, red_T = jax.vmap(redetect_one)(
         obj.stored_desc, obj.stored_p3d, obj.stored_valid, jnp.stack(rkeys)
     )
+    return red_ok, red_err, red_T, rng
+
+
+def _snapshot_tracks(obj, tracks, pose_all_slots):
+    """Per-slot redetection snapshots from the track table (Model::store)."""
+    n_slots = obj.num_slots
+    ks = obj.stored_desc.shape[1]
+
+    def snapshot_one(slot_idx, pose_slot):
+        sel = tracks.active & (tracks.model_id == slot_idx + 1)
+        s_last = jnp.mod(tracks.last_seen, tracks.history)
+        p_cam = jnp.take_along_axis(
+            tracks.p3d, s_last[:, None, None], axis=1
+        )[:, 0]
+        hasd = jnp.take_along_axis(tracks.has_depth, s_last[:, None], axis=1)[:, 0]
+        valid = sel & hasd
+        pm = se3.transform_points(pose_slot, p_cam)
+        rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
+        dest = jnp.where(valid & (rank < ks), rank, ks)
+        d_out = jnp.zeros((ks + 1, tracks.desc.shape[1])).at[dest].set(
+            tracks.desc, mode="drop"
+        )[:ks]
+        p_out = jnp.zeros((ks + 1, 3)).at[dest].set(pm, mode="drop")[:ks]
+        v_out = jnp.zeros((ks + 1,), bool).at[dest].set(valid, mode="drop")[:ks]
+        return d_out, p_out, v_out
+
+    return jax.vmap(snapshot_one)(
+        jnp.arange(n_slots, dtype=jnp.int32), pose_all_slots
+    )
+
+
+def _crf_camera(cam: CameraModel, scale: float) -> CameraModel:
+    return CameraModel(
+        width=int(cam.width * scale), height=int(cam.height * scale),
+        fx=cam.fx * scale, fy=cam.fy * scale,
+        cx=cam.cx * scale, cy=cam.cy * scale,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cam", "cfg", "bucket_fuse", "bucket_obj")
+)
+def multi_frame_step(
+    state: MultiState,
+    rgb_u8,
+    depth_raw,
+    uv,
+    time,
+    weight_multiplier,
+    sp_params,
+    cam: CameraModel,
+    cfg: EngineConfig,
+    bucket_fuse: int,
+    ext_mask=None,  # [H, W] int32 user-provided mask ("precomputed" mode)
+    bucket_obj: int | None = None,
+):
+    """One jitted multi-model frame (tick > 1): track all models, segment,
+    spawn/deactivate, fuse, predict — composite passes (module docstring)."""
+    if cfg.segmentation.mode == "crf":
+        # legacy CoFusion CRF needs per-model error images -> per-slot path
+        return _multi_frame_step_legacy(
+            state, rgb_u8, depth_raw, uv, time, weight_multiplier, sp_params,
+            cam, cfg, bucket_fuse, ext_mask,
+        )
+    from multimotionfusion_tpu.engine import (
+        _compact_pred, _detect_keypoints, _fern_cam, _ferns_update,
+        _frame_inputs,
+    )
+
+    scfg = cfg.surfels
+    n_slots = state.objects.num_slots
+    n_models = 1 + n_slots
+    h, w = cam.height, cam.width
+    Bg = bucket_fuse
+    Bo = bucket_obj if bucket_obj is not None else cfg.object_capacity
+    rgb, depth_filt, vmap_raw, vmap_f, nmap_f = _frame_inputs(
+        rgb_u8, depth_raw, cam, cfg, uv
+    )
+    mask_prev = state.prev_mask
+    frame_pyr = lv.build_frame_pyramids(depth_filt, rgb, mask_prev, cfg.odometry)
+    intensity = frame_pyr.intensity[0]
+
+    # ---- keypoints + tracks ------------------------------------------------
+    tracks = state.tracks
+    rng = state.rng
+    kps = _detect_keypoints(intensity, cfg, sp_params)
+    kcfg = cfg.keypoints
+    tracks = tracker.add_keypoints(tracks, kps, depth_filt, time, cam, kcfg)
+    tracks = tracker.prune(tracks, time, kcfg)
+
+    # ---- pose seeds (global + slots) ---------------------------------------
+    obj = state.objects
+    pose0 = state.pose
+    if cfg.odom_init == "kp":
+        pose0_seed, seed_ok0, rng = _kp_seed(
+            tracks, time, tracks.model_id == 0, pose0, rng, cfg, True
+        )
+        obj_seeds, obj_seed_ok, rng = _seed_slots(obj, tracks, time, rng, cfg)
+        T_init_all = jnp.concatenate([pose0_seed[None], obj_seeds], axis=0)
+        seed_valid_all = jnp.concatenate([seed_ok0[None], obj_seed_ok])
+    else:
+        T_init_all = None
+        seed_valid_all = None
+
+    # ---- COMPOSITE tracking: one GN pass for all models --------------------
+    # prediction = state.filled (owner-composite rendered last frame at the
+    # mask that is now prev_mask); per-pixel owner = prev_mask pyramid
+    odo_cfg = dataclasses.replace(cfg.odometry, mask_icp=False)
+    levels = lv.build_level_data(
+        frame_pyr,
+        state.filled.vertex_conf[..., :3],
+        state.filled.normal_rad[..., :3],
+        imops.rgb_to_intensity(state.filled.color),
+        cam, odo_cfg, 0,
+    )
+    T_prev_all = jnp.concatenate([pose0[None], obj.pose], axis=0)
+    active_all = jnp.concatenate([jnp.array([True]), obj.active])
+    modo = modo_mod.multi_incremental_transformation(
+        T_prev_all, levels, state.last_intensity_coarse, odo_cfg, cam,
+        n_models, T_init=T_init_all, seed_valid=seed_valid_all,
+        active=active_all,
+    )
+    new_pose0 = modo.poses[0]
+    obj_poses_new = modo.poses[1:]
+
+    # ---- global-model lost detection + fern relocalisation (reloc mode) ----
+    # same mechanism as the static path (MultiMotionFusion.cpp:629-695)
+    bad_count = state.bad_track_count
+    lost = state.lost
+    if cfg.reloc_mode:
+        cov = jnp.linalg.inv(modo.A[0] + jnp.eye(6, dtype=jnp.float32) * 1e-12)
+        bad = (jnp.max(jnp.diagonal(cov)) > 1e-4) | (modo.icp_count[0] < 100)
+        bad_count = jnp.where(bad, bad_count + 1, 0)
+        lost = lost | (bad_count > 10)
+        ferns_db, new_pose0, relocalised = _ferns_update(
+            state.ferns, rgb, vmap_f, nmap_f, new_pose0, time, lost, cam, cfg
+        )
+        lost = lost & ~relocalised
+        bad_count = jnp.where(relocalised, 0, bad_count)
+    else:
+        ferns_db = state.ferns
+
+    # ---- global loop closure (closeLoops, MultiMotionFusion.cpp:679-789) --
+    # the reference closes loops for the GLOBAL model regardless of how many
+    # object models exist; fern retrieval + embedded-deformation map
+    # correction runs BEFORE fusion so the corrected map/pose receive this
+    # frame's data (reference order: closeLoops :679, fuse :791)
+    smap_in = state.smap
+    match_log = state.pose_matches
+    if cfg.close_loops:
+        f = cfg.ferns.factor
+        cam_s = _fern_cam(cam, f)
+        rgb_s, vmap_s, nmap_s = ferns_mod.downsample_frame(
+            rgb, vmap_f, nmap_f, f
+        )
+        smap_in, new_pose0, match = loop_closure.attempt(
+            ferns_db, smap_in, new_pose0, rgb_s, vmap_s, nmap_s, time, cam_s,
+            cfg,
+        )
+        match_log = loop_closure.log_append(match_log, match)
+        if not cfg.reloc_mode:  # reloc mode already inserts keyframes above
+            ferns_db, _ = ferns_mod.add_frame(
+                ferns_db, rgb_s, vmap_s, nmap_s, new_pose0, time,
+                cfg.ferns.encoding_threshold,
+            )
+
+    # ---- flat camera-frame surfels at the NEW poses (pre-spawn) ------------
+    sub = smap_in.bucketed(Bg)
+    obj_db = obj.data[:, :, :Bo]
+    g_local = sm.transform_surfels(sub.data, se3.inverse_T(new_pose0))
+    o_local = jax.vmap(
+        lambda d, p: sm.transform_surfels(d, se3.inverse_T(p))
+    )(obj_db, obj_poses_new)
+    seg_model = jnp.concatenate(
+        [
+            jnp.zeros((Bg,), jnp.int32),
+            jnp.arange(n_slots * Bo, dtype=jnp.int32) // Bo + 1,
+        ]
+    )
+    galive = sub.alive_mask()
+    oalive = jax.vmap(
+        lambda d, c: (jnp.arange(Bo, dtype=jnp.int32) < c) & (d[sm.ALIVE] > 0)
+    )(obj_db, obj.count)
+    conf_all = jnp.concatenate(
+        [jnp.array([scfg.conf_threshold], jnp.float32), obj.conf_t]
+    )
+    maxd_all = jnp.concatenate(
+        [jnp.array([scfg.depth_cutoff], jnp.float32), obj.max_depth]
+    )
+
+    # ---- segmentation -------------------------------------------------------
+    poses_prev = jnp.concatenate([state.pose[None], obj.pose], axis=0)
+    poses_new = jnp.concatenate([new_pose0[None], obj_poses_new], axis=0)
+    vel, pair_valid = _track_velocities(tracks, time, poses_prev, poses_new, cam)
+    s1 = jnp.mod(time, tracks.history)
+    txy = tracks.xy[:, s1]
+    model_active = jnp.concatenate([jnp.array([True]), obj.active])
+    allow_new = cfg.enable_model_spawning and cfg.object_slots > 0
+    reactivate = jnp.zeros((n_slots,), bool)
+    new_ext_id = jnp.zeros((), jnp.int32)
+    if cfg.segmentation.mode == "precomputed":
+        # external-mask passthrough (Segmentation.cpp:89-147): no CRF at all
+        from multimotionfusion_tpu.segmentation import precomputed as pc
+
+        xm = ext_mask if ext_mask is not None else jnp.zeros((h, w), jnp.int32)
+        pres = pc.precomputed_segmentation(
+            xm, obj.ext_id, obj.active, depth_filt,
+            cfg.segmentation.min_mask_size_px,
+        )
+        reactivate = pres.reactivate
+        new_ext_id = pres.new_ext_id
+        pdm, pds = _depth_stats(
+            pres.mask, pres.new_label_mask, depth_filt, 1 + n_slots
+        )
+        seg_res = seg.SegmentationResult(
+            mask=pres.mask,
+            new_label_mask=pres.new_label_mask,
+            has_new_label=pres.has_new_label,
+            pixel_counts=pres.pixel_counts,
+            depth_mean=pdm,
+            depth_std=pds,
+            flow=jnp.zeros((cam.height // 4, cam.width // 4, 2), jnp.float32),
+        )
+    else:
+        # per-model depth at CRF scale for the reprojection term: one offset
+        # scatter over ALL surfels instead of M full-res splat passes
+        flat_local = jnp.concatenate(
+            [g_local, jnp.moveaxis(o_local, 0, 1).reshape(sm.CHANNELS, -1)],
+            axis=1,
+        )
+        alive_flat = jnp.concatenate([galive, oalive.reshape(-1)])
+        cam_c = _crf_camera(cam, cfg.segmentation.scale)
+        pred_depth_c = rasterize.render_model_depths(
+            flat_local, alive_flat, seg_model, conf_all, maxd_all, n_models,
+            cam_c, time, scfg.time_delta,
+        )
+        seg_res = seg.flow_crf_segmentation(
+            state.prev_intensity, intensity, depth_filt, pred_depth_c,
+            model_active, txy, vel, pair_valid, cam, cfg.segmentation,
+            allow_new=allow_new, pred_at_crf_scale=True,
+        )
+
+    # ---- redetection + spawn decision ---------------------------------------
+    kp_p3d, kp_hasd = tracker.backproject_keypoints(kps, depth_filt, cam)
+    kxi = jnp.clip(jnp.rint(kps.xy[:, 0]).astype(jnp.int32), 0, w - 1)
+    kyi = jnp.clip(jnp.rint(kps.xy[:, 1]).astype(jnp.int32), 0, h - 1)
+    in_seg = seg_res.new_label_mask[kyi, kxi] & kps.valid & kp_hasd
+    red_ok, red_err, red_T, rng = _redetect(obj, kps, kp_p3d, in_seg, rng, cfg)
     redetect_enabled = cfg.enable_redetection and allow_new
     red_ok = (
         red_ok & obj.stored & ~obj.active
@@ -561,9 +580,7 @@ def multi_frame_step(
     )
 
     # per-slot max-depth clamp from the segment's depth statistics
-    # (setMaxDepth(depthMean + 1.2 * depthStd), MultiMotionFusion.cpp:408):
-    # active slots update from THEIR segment; claimed slots adopt the new
-    # label's band; slots with no pixels this frame keep the previous clamp
+    # (setMaxDepth(depthMean + 1.2 * depthStd), MultiMotionFusion.cpp:408)
     seg_maxd = jnp.minimum(
         seg_res.depth_mean + 1.2 * seg_res.depth_std,
         jnp.float32(scfg.depth_cutoff),
@@ -580,9 +597,9 @@ def multi_frame_step(
     tracks = tracks._replace(model_id=new_model_id)
 
     # ---- back-date the new object's trajectory (Model::refineTrackSubset,
-    # Model.cpp:649-737, called from MultiMotionFusion.cpp:565-604): at spawn,
-    # per-step rigid fits over the new model's track history produce relative
-    # transforms the host composes into pre-spawn poses for the export log.
+    # Model.cpp:649-737): per-step rigid fits over the new model's track
+    # history produce relative transforms the host composes into pre-spawn
+    # poses for the export log
     refine_len = min(8, tracks.history - 2)
     rng, rkey = jax.random.split(rng)
 
@@ -600,7 +617,7 @@ def multi_frame_step(
 
     refine_T = jax.lax.cond(spawn, do_refine, no_refine, rkey)
 
-    # ---- spawn: initialise the free slot from the new-label pixels ---------
+    # ---- spawn: initialise the claimed slot from the new-label pixels ------
     fs = sm.compute_frame_surfels(
         rgb, vmap_raw, vmap_f, nmap_f, cam, time, scfg.depth_cutoff, 100.0
     )  # weight 100 = the reference's spawn fuse weight (MultiMotionFusion.cpp:569)
@@ -636,10 +653,517 @@ def multi_frame_step(
     # object-model confidence maturation (MultiMotionFusion.cpp:615-620):
     # raise each ACTIVE slot's render/clean confidence gate towards its
     # segment's average predicted confidence (capped at 9); claimed slots
-    # restart at the base object gate ('-confO')
+    # restart at the base object gate ('-confO'). The average uses the OWNER
+    # pixels' winner confidence from last frame's composite prediction.
     seg_conf_sum = jax.vmap(
         lambda k: jnp.sum(
-            jnp.where(seg_res.mask == k + 1, obj.pred_vertex_conf[k, ..., 3], 0.0)
+            jnp.where(
+                (seg_res.mask == k + 1) & (mask_prev == k + 1),
+                state.filled.vertex_conf[..., 3], 0.0,
+            )
+        )
+    )(jnp.arange(n_slots, dtype=jnp.int32))
+    seg_conf_cnt = jax.vmap(
+        lambda k: jnp.sum(
+            ((seg_res.mask == k + 1) & (mask_prev == k + 1)).astype(jnp.float32)
+        )
+    )(jnp.arange(n_slots, dtype=jnp.int32))
+    avg_conf = seg_conf_sum / jnp.maximum(seg_conf_cnt, 1.0)
+    conf_t = jnp.where(
+        obj.active & (seg_conf_cnt > 0),
+        jnp.minimum(jnp.maximum(obj.conf_t, avg_conf), 9.0),
+        obj.conf_t,
+    )
+    conf_t = jnp.where(
+        is_spawn_slot | is_red_slot,
+        jnp.float32(scfg.object_conf_threshold),
+        conf_t,
+    )
+    max_depth = jnp.where(
+        obj.active & (seg_res.pixel_counts[1 : 1 + n_slots] > 0),
+        slot_maxd,
+        obj.max_depth,
+    )
+    max_depth = jnp.where(is_spawn_slot | is_red_slot, new_maxd, max_depth)
+
+    # ---- lost models (zero segment pixels; MultiMotionFusion.cpp:606-613) --
+    slot_px = seg_res.pixel_counts[1 : 1 + n_slots]
+    just_claimed = is_spawn_slot | is_red_slot
+    unseen = jnp.where(
+        obj_active & (slot_px == 0) & ~just_claimed, obj.unseen + 1,
+        jnp.zeros_like(obj.unseen),
+    )
+    was_active = obj_active
+    obj_active = obj_active & (unseen < cfg.model_unseen_patience)
+    dying = was_active & ~obj_active
+
+    # ---- snapshot dying models for redetection (Model::store) --------------
+    # keep-on-deactivate gates (inactivateModel, MultiMotionFusion.cpp:962-981:
+    # >= 500 surfels and confidence > 0.3): junk models are dropped, not stored
+    alive_cnt = jax.vmap(lambda d: jnp.sum((d[sm.ALIVE] > 0).astype(jnp.int32)))(
+        obj_data[:, :, :Bo]
+    )
+    mean_conf = jax.vmap(
+        lambda d: jnp.sum(jnp.where(d[sm.ALIVE] > 0, d[sm.CONF], 0.0))
+    )(obj_data[:, :, :Bo]) / jnp.maximum(alive_cnt.astype(jnp.float32), 1.0)
+    keep_gate = (alive_cnt >= cfg.min_inactive_surfels) & (mean_conf > 0.3)
+    snap_d, snap_p, snap_v = _snapshot_tracks(obj, tracks, obj_pose)
+    store_it = dying & keep_gate
+    obj_stored = obj_stored | store_it
+    stored_desc = jnp.where(store_it[:, None, None], snap_d, obj.stored_desc)
+    stored_p3d = jnp.where(store_it[:, None, None], snap_p, obj.stored_p3d)
+    stored_valid = jnp.where(store_it[:, None], snap_v, obj.stored_valid)
+
+    # ---- fusion weight (global) --------------------------------------------
+    diff = new_pose0 @ se3.inverse_T(state.prev_pose)
+    motion = jnp.maximum(
+        jnp.linalg.norm(diff[:3, 3]), jnp.linalg.norm(se3.so3_log(diff[:3, :3]))
+    )
+    weighting = (
+        jnp.maximum(1.0 - jnp.minimum(motion, 0.01) / 0.01, 0.5) * weight_multiplier
+    )
+    fs_w = sm.compute_frame_surfels(
+        rgb, vmap_raw, vmap_f, nmap_f, cam, time, scfg.depth_cutoff, weighting
+    )
+
+    # ---- composite render at FINAL poses/data -> fuse -> clean -> predict --
+    obj_db2 = obj_data[:, :, :Bo]
+    o_local2 = jax.vmap(
+        lambda d, p: sm.transform_surfels(d, se3.inverse_T(p))
+    )(obj_db2, obj_pose)
+    flat_local2 = jnp.concatenate(
+        [g_local, jnp.moveaxis(o_local2, 0, 1).reshape(sm.CHANNELS, -1)],
+        axis=1,
+    )
+    oalive2 = jax.vmap(
+        lambda d, c: (jnp.arange(Bo, dtype=jnp.int32) < c) & (d[sm.ALIVE] > 0)
+    )(obj_db2, obj_count)
+    alive_flat2 = jnp.concatenate([galive, oalive2.reshape(-1)])
+    conf_all2 = jnp.concatenate(
+        [jnp.array([scfg.conf_threshold], jnp.float32), conf_t]
+    )
+    maxd_all2 = jnp.concatenate(
+        [jnp.array([scfg.depth_cutoff], jnp.float32), max_depth]
+    )
+    active_all2 = jnp.concatenate([jnp.array([True]), obj_active])
+    poses_all2 = jnp.concatenate([new_pose0[None], obj_pose], axis=0)
+
+    im = rasterize.predict_indices_flat(
+        flat_local2, alive_flat2, seg_model, mask, maxd_all2, n_models, cam,
+        time, scfg.time_delta,
+    )
+    attrs = rasterize.gather_attr_images(im.data_local, im.index)
+
+    seg_bases = tuple(
+        [0, Bg] + [Bg + (k + 1) * Bo for k in range(n_slots)]
+    )
+    storage_flat = jnp.concatenate(
+        [sub.data, jnp.moveaxis(obj_db2, 0, 1).reshape(sm.CHANNELS, -1)],
+        axis=1,
+    )
+    counts_all = jnp.concatenate([sub.count[None], obj_count])
+    fused_flat, counts_new = fusion.fuse_flat(
+        storage_flat, counts_all, seg_bases, fs_w, im, mask, poses_all2,
+        maxd_all2, active_all2, cam, time, scfg, attrs,
+    )
+    pos_in_seg = jnp.concatenate(
+        [
+            jnp.arange(Bg, dtype=jnp.int32),
+            jnp.tile(jnp.arange(Bo, dtype=jnp.int32), n_slots),
+        ]
+    )
+    count_per_surfel = rasterize.take_small(counts_new, seg_model, n_models)
+    alive_pf = (pos_in_seg < count_per_surfel) & (fused_flat[sm.ALIVE] > 0)
+    cleaned_flat = fusion.clean_flat(
+        fused_flat, counts_new, seg_model, alive_pf, im, depth_filt, mask,
+        conf_all2, cam, time, scfg.time_delta, scfg, attrs,
+    )
+    if cfg.reloc_mode:
+        # global fusion is skipped while lost (MultiMotionFusion.cpp:791)
+        cleaned_flat = cleaned_flat.at[:, :Bg].set(
+            jnp.where(lost, sub.data, cleaned_flat[:, :Bg])
+        )
+        counts_new = counts_new.at[0].set(
+            jnp.where(lost, sub.count, counts_new[0])
+        )
+
+    # periodic per-segment repack (see fusion.clean's compact rationale)
+    def _packed(args):
+        data_flat, counts = args
+        keepg = (
+            (jnp.arange(Bg, dtype=jnp.int32) < counts[0])
+            & (data_flat[sm.ALIVE, :Bg] > 0)
+        )
+        gpack, gcnt = sm.compact(data_flat[:, :Bg], keepg, Bg)
+        oseg = jnp.moveaxis(
+            data_flat[:, Bg:].reshape(sm.CHANNELS, n_slots, Bo), 1, 0
+        )
+        okeep = jax.vmap(
+            lambda d, c: (jnp.arange(Bo, dtype=jnp.int32) < c)
+            & (d[sm.ALIVE] > 0)
+        )(oseg, counts[1:])
+        opack, ocnt = jax.vmap(lambda d, k: sm.compact(d, k, Bo))(oseg, okeep)
+        out = jnp.concatenate(
+            [gpack, jnp.moveaxis(opack, 0, 1).reshape(sm.CHANNELS, -1)],
+            axis=1,
+        )
+        return out, jnp.concatenate([gcnt[None], ocnt])
+
+    def _flagged(args):
+        return args
+
+    compact = _compact_pred(time, scfg)
+    if isinstance(compact, bool):
+        cleaned_flat, counts_new = (
+            _packed((cleaned_flat, counts_new)) if compact
+            else (cleaned_flat, counts_new)
+        )
+    else:
+        cleaned_flat, counts_new = jax.lax.cond(
+            compact, _packed, _flagged, (cleaned_flat, counts_new)
+        )
+
+    # split storage back out
+    gdata = state.smap.data.at[:, :Bg].set(cleaned_flat[:, :Bg])
+    smap = sm.SurfelMap(data=gdata, count=counts_new[0])
+    obj_data_out = obj_data.at[:, :, :Bo].set(
+        jnp.moveaxis(
+            cleaned_flat[:, Bg:].reshape(sm.CHANNELS, n_slots, Bo), 1, 0
+        )
+    )
+    obj_count_out = counts_new[1:]
+
+    # ---- composite prediction for the NEXT frame's tracking ----------------
+    conf_px = rasterize.take_small(conf_all2, mask, n_models)
+    pred = rasterize.splat_resolve(
+        im, cam, 0.0, time, time, scfg.time_delta, scfg.splat_footprint,
+        attrs=attrs, conf_img=conf_px, own_img=mask,
+    )
+    conf_img = sm.pixel_confidence(cam, 1.0)
+    rad_img = sm.radius_from_depth(vmap_f[..., 2], nmap_f[..., 2], cam)
+    filled = fill_in(
+        pred, rgb, vmap_f, nmap_f, conf_img, rad_img, cfg.frame_to_frame_rgb,
+        gate=mask == 0,
+    )
+
+    objects = ObjectSlots(
+        data=obj_data_out, count=obj_count_out, pose=obj_pose,
+        active=obj_active, unseen=unseen, spawn_tick=obj_spawn_tick,
+        conf_t=conf_t, max_depth=max_depth,
+        stored=obj_stored, stored_desc=stored_desc, stored_p3d=stored_p3d,
+        stored_valid=stored_valid, ext_id=obj_ext_id,
+    )
+
+    coarse = frame_pyr.intensity[cfg.odometry.num_pyr - 1]
+    stats = jnp.concatenate(
+        [
+            jnp.stack(
+                [
+                    modo.icp_error[0], modo.icp_count[0],
+                    modo.rgb_error[0], modo.rgb_count[0],
+                    smap.alive_count().astype(jnp.float32),
+                    smap.count.astype(jnp.float32),
+                    spawn.astype(jnp.float32),
+                    jnp.sum(obj_active.astype(jnp.float32)),
+                    lost.astype(jnp.float32),
+                ]
+            ),
+            seg_res.pixel_counts.astype(jnp.float32),
+        ]
+    )
+    new_state = MultiState(
+        smap=smap, pose=new_pose0, prev_pose=state.pose, filled=filled,
+        last_intensity_coarse=coarse, tracks=tracks, rng=rng, objects=objects,
+        prev_mask=mask, prev_intensity=intensity,
+        last_spawn=jnp.where(claim, jnp.int32(time), state.last_spawn),
+        ferns=ferns_db, bad_track_count=bad_count, lost=lost,
+        pose_matches=match_log,
+    )
+    aux = SpawnAux(
+        spawn=spawn, redetect=any_red, slot=target_slot, refine_T=refine_T
+    )
+    return new_state, stats, mask, aux
+
+
+def _multi_frame_step_legacy(
+    state: MultiState,
+    rgb_u8,
+    depth_raw,
+    uv,
+    time,
+    weight_multiplier,
+    sp_params,
+    cam: CameraModel,
+    cfg: EngineConfig,
+    bucket_fuse: int,
+    ext_mask=None,
+):
+    """Round-2 per-slot multi-model path, kept for the legacy CoFusion CRF
+    ("crf" mode): it consumes per-model ICP error images over the WHOLE image
+    (Segmentation.cpp:212-332), which the owner-composite passes cannot
+    produce. Per-slot predictions are re-rendered in-step (the composite
+    state no longer carries [S, H, W] prediction images)."""
+    from multimotionfusion_tpu.engine import (
+        _compact_pred, _detect_keypoints, _ferns_update, _frame_inputs,
+    )
+    from multimotionfusion_tpu.segmentation import legacy_crf
+
+    scfg = cfg.surfels
+    n_slots = state.objects.num_slots
+    h, w = cam.height, cam.width
+    rgb, depth_filt, vmap_raw, vmap_f, nmap_f = _frame_inputs(
+        rgb_u8, depth_raw, cam, cfg, uv
+    )
+    mask_prev = state.prev_mask
+    frame_pyr = lv.build_frame_pyramids(depth_filt, rgb, mask_prev, cfg.odometry)
+    intensity = frame_pyr.intensity[0]
+
+    tracks = state.tracks
+    rng = state.rng
+    kps = _detect_keypoints(intensity, cfg, sp_params)
+    kcfg = cfg.keypoints
+    tracks = tracker.add_keypoints(tracks, kps, depth_filt, time, cam, kcfg)
+    tracks = tracker.prune(tracks, time, kcfg)
+
+    obj = state.objects
+
+    # ---- per-slot predictions at the PREVIOUS poses (replaces the state-
+    # carried prediction images of the round-2 design; the maps and poses are
+    # unchanged since the end of the previous frame, so this reproduces them)
+    def render_slot(data, count, pose, conf_t, max_depth):
+        omap = sm.SurfelMap(data=data, count=count)
+        pred = rasterize.splat_predict(
+            omap, pose, cam, conf_t, time - 1, time - 1, scfg.time_delta,
+            max_depth, scfg.splat_footprint,
+        )
+        return pred.vertex_conf, pred.normal_rad, pred.color
+
+    opvc, opnr, opcol = jax.vmap(render_slot)(
+        obj.data, obj.count, obj.pose, obj.conf_t, obj.max_depth
+    )
+
+    # ---- global model: kp init + masked dense refinement -------------------
+    pose0 = state.pose
+    if cfg.odom_init == "kp":
+        pose0_seed, seed_ok0, rng = _kp_seed(
+            tracks, time, tracks.model_id == 0, pose0, rng, cfg, True
+        )
+    else:
+        pose0_seed = pose0
+        seed_ok0 = None
+    levels0 = lv.build_level_data(
+        frame_pyr,
+        state.filled.vertex_conf[..., :3],
+        state.filled.normal_rad[..., :3],
+        imops.rgb_to_intensity(state.filled.color),
+        cam, cfg.odometry, 0,
+    )
+    seeded = cfg.odom_init == "kp"
+    odo0 = rgbd.get_incremental_transformation(
+        state.pose, levels0, state.last_intensity_coarse, cfg.odometry, cam, 0,
+        T_init=pose0_seed if seeded else None, seeded=seeded,
+        seed_valid=seed_ok0 if seeded else None,
+    )
+    new_pose0 = odo0.pose
+
+    from multimotionfusion_tpu.engine import _ferns_update as _fu
+
+    bad_count = state.bad_track_count
+    lost = state.lost
+    if cfg.reloc_mode:
+        cov = jnp.linalg.inv(odo0.A + jnp.eye(6, dtype=jnp.float32) * 1e-12)
+        bad = (jnp.max(jnp.diagonal(cov)) > 1e-4) | (odo0.icp_count < 100)
+        bad_count = jnp.where(bad, bad_count + 1, 0)
+        lost = lost | (bad_count > 10)
+        ferns_db, new_pose0, relocalised = _fu(
+            state.ferns, rgb, vmap_f, nmap_f, new_pose0, time, lost, cam, cfg
+        )
+        lost = lost & ~relocalised
+        bad_count = jnp.where(relocalised, 0, bad_count)
+    else:
+        ferns_db = state.ferns
+
+    # ---- object models: per-slot kp init + masked dense refinement ---------
+    if cfg.odom_init == "kp":
+        obj_seeds, obj_seed_ok, rng = _seed_slots(obj, tracks, time, rng, cfg)
+    else:
+        obj_seeds = obj.pose
+        obj_seed_ok = jnp.zeros((n_slots,), bool)
+
+    def track_one(slot_idx, slot_pose, seed_pose, seed_ok, pvc, pnr, pcol):
+        levels = lv.build_level_data(
+            frame_pyr, pvc[..., :3], pnr[..., :3],
+            imops.rgb_to_intensity(pcol), cam, cfg.odometry,
+            slot_idx + 1,
+        )
+        odo = rgbd.get_incremental_transformation(
+            slot_pose, levels, state.last_intensity_coarse, cfg.odometry, cam,
+            slot_idx + 1, T_init=seed_pose, seeded=True, seed_valid=seed_ok,
+        )
+        return odo.pose, odo.icp_count, odo.icp_error_image
+
+    obj_poses_new, obj_icp_counts, obj_icp_imgs = jax.vmap(track_one)(
+        jnp.arange(n_slots, dtype=jnp.int32), obj.pose, obj_seeds, obj_seed_ok,
+        opvc, opnr, opcol,
+    )
+    obj_poses_new = jnp.where(obj.active[:, None, None], obj_poses_new, obj.pose)
+
+    # ---- per-model prediction at the NEWLY tracked poses --------------------
+    sub = state.smap.bucketed(bucket_fuse)
+    im0 = rasterize.predict_indices(
+        sub, new_pose0, cam, time, scfg.time_delta, scfg.depth_cutoff
+    )
+    attrs0 = rasterize.gather_attr_images(im0.data_local, im0.index)
+    pred0 = rasterize.splat_resolve(
+        im0, cam, scfg.conf_threshold, time, time, scfg.time_delta,
+        scfg.splat_footprint, attrs=attrs0,
+    )
+
+    def predict_one(data, count, pose, conf_t, max_depth):
+        omap = sm.SurfelMap(data=data, count=count)
+        im = rasterize.predict_indices(
+            omap, pose, cam, time, scfg.time_delta, max_depth
+        )
+        at = rasterize.gather_attr_images(im.data_local, im.index)
+        pred = rasterize.splat_resolve(
+            im, cam, conf_t, time, time, scfg.time_delta,
+            scfg.splat_footprint, attrs=at,
+        )
+        return im.index, im.data_local, at, pred
+
+    oidx, odl, oattrs, opred = jax.vmap(predict_one)(
+        obj.data, obj.count, obj_poses_new, obj.conf_t, obj.max_depth
+    )
+
+    # ---- legacy CRF segmentation -------------------------------------------
+    poses_prev = jnp.concatenate([state.pose[None], obj.pose], axis=0)
+    poses_new = jnp.concatenate([new_pose0[None], obj_poses_new], axis=0)
+    s1 = jnp.mod(time, tracks.history)
+    txy = tracks.xy[:, s1]
+    model_active = jnp.concatenate([jnp.array([True]), obj.active])
+    allow_new = cfg.enable_model_spawning and cfg.object_slots > 0
+
+    icp_imgs = jnp.concatenate(
+        [odo0.icp_error_image[None], obj_icp_imgs], axis=0
+    )
+    conf_imgs = jnp.concatenate(
+        [
+            state.filled.vertex_conf[None, ..., 3],
+            opvc[..., 3],
+        ],
+        axis=0,
+    )
+    lres = legacy_crf.legacy_crf_segmentation(
+        rgb, depth_filt, icp_imgs, conf_imgs, model_active,
+        cfg.segmentation, allow_new=allow_new,
+    )
+    m_all = 1 + n_slots
+    ldm, lds = _depth_stats(lres.mask, lres.new_label_mask, depth_filt, m_all)
+    seg_res = seg.SegmentationResult(
+        mask=lres.mask,
+        new_label_mask=lres.new_label_mask,
+        has_new_label=lres.has_new_label,
+        pixel_counts=lres.pixel_counts,
+        depth_mean=ldm,
+        depth_std=lds,
+        flow=jnp.zeros((cam.height // 4, cam.width // 4, 2), jnp.float32),
+    )
+
+    # ---- redetection + spawn (same as composite path) ----------------------
+    kp_p3d, kp_hasd = tracker.backproject_keypoints(kps, depth_filt, cam)
+    kxi = jnp.clip(jnp.rint(kps.xy[:, 0]).astype(jnp.int32), 0, w - 1)
+    kyi = jnp.clip(jnp.rint(kps.xy[:, 1]).astype(jnp.int32), 0, h - 1)
+    in_seg = seg_res.new_label_mask[kyi, kxi] & kps.valid & kp_hasd
+    red_ok, red_err, red_T, rng = _redetect(obj, kps, kp_p3d, in_seg, rng, cfg)
+    redetect_enabled = cfg.enable_redetection and allow_new
+    red_ok = (
+        red_ok & obj.stored & ~obj.active
+        & seg_res.has_new_label & jnp.asarray(redetect_enabled)
+    )
+    any_red = jnp.any(red_ok)
+    red_slot = jnp.argmin(jnp.where(red_ok, red_err, jnp.inf))
+
+    slot_score = obj.active.astype(jnp.int32) * 2 + (
+        obj.stored & ~obj.active
+    ).astype(jnp.int32)
+    free_slot = jnp.argmin(slot_score)
+    any_free = ~jnp.all(obj.active)
+    cooled = (state.last_spawn == 0) | (
+        time - state.last_spawn >= cfg.model_spawn_offset
+    )
+    spawn = (
+        seg_res.has_new_label & any_free & jnp.asarray(allow_new) & cooled
+        & ~any_red
+    )
+    target_slot = jnp.where(any_red, red_slot, free_slot)
+    claim = spawn | any_red
+    new_id = target_slot + 1
+    outlier_id = jnp.int32(n_slots + 1)
+    mask = jnp.where(
+        seg_res.new_label_mask,
+        jnp.where(claim, new_id.astype(jnp.int32), outlier_id),
+        seg_res.mask,
+    )
+
+    seg_maxd = jnp.minimum(
+        seg_res.depth_mean + 1.2 * seg_res.depth_std,
+        jnp.float32(scfg.depth_cutoff),
+    )
+    slot_maxd = seg_maxd[1 : 1 + n_slots]
+    new_maxd = seg_maxd[1 + n_slots]
+
+    xi = jnp.clip(jnp.rint(txy[:, 0]).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(jnp.rint(txy[:, 1]).astype(jnp.int32), 0, h - 1)
+    seen_now = tracks.last_seen == time
+    track_label = mask[yi, xi]
+    new_model_id = jnp.where(seen_now, track_label, tracks.model_id)
+    tracks = tracks._replace(model_id=new_model_id)
+
+    refine_len = min(8, tracks.history - 2)
+    rng, rkey = jax.random.split(rng)
+
+    def do_refine(k):
+        sel = tracks.model_id == new_id
+        T_steps, _ = tracker.refine_track_subset(
+            tracks, sel, time, refine_len, k, cfg.ransac
+        )
+        return T_steps
+
+    def no_refine(k):
+        return jnp.broadcast_to(
+            jnp.eye(4, dtype=jnp.float32), (refine_len, 4, 4)
+        )
+
+    refine_T = jax.lax.cond(spawn, do_refine, no_refine, rkey)
+
+    fs = sm.compute_frame_surfels(
+        rgb, vmap_raw, vmap_f, nmap_f, cam, time, scfg.depth_cutoff, 100.0
+    )
+    spawn_valid = (
+        fs.valid & (mask == new_id).reshape(-1) & spawn
+        & (fs.data[sm.PZ] <= new_maxd)
+    )
+    spawn_fs = sm.FrameSurfels(
+        data=jnp.where(spawn_valid[None], fs.data, 0.0), valid=spawn_valid
+    )
+    spawn_map = sm.init_from_frame(spawn_fs, cfg.object_capacity)
+    is_spawn_slot = (jnp.arange(n_slots) == target_slot) & spawn
+    is_red_slot = (jnp.arange(n_slots) == target_slot) & any_red
+    obj_data = jnp.where(
+        is_spawn_slot[:, None, None], spawn_map.data[None], obj.data
+    )
+    obj_count = jnp.where(is_spawn_slot, spawn_map.count, obj.count)
+    obj_active = obj.active | is_spawn_slot | is_red_slot
+    obj_stored = obj.stored & ~is_spawn_slot & ~is_red_slot
+    obj_pose = jnp.where(
+        is_spawn_slot[:, None, None],
+        jnp.eye(4, dtype=jnp.float32)[None],
+        jnp.where(is_red_slot[:, None, None], red_T[red_slot][None], obj_poses_new),
+    )
+    obj_spawn_tick = jnp.where(is_spawn_slot | is_red_slot, time, obj.spawn_tick)
+    seg_conf_sum = jax.vmap(
+        lambda k: jnp.sum(
+            jnp.where(seg_res.mask == k + 1, opvc[k, ..., 3], 0.0)
         )
     )(jnp.arange(n_slots, dtype=jnp.int32))
     seg_conf_cnt = jax.vmap(
@@ -663,17 +1187,13 @@ def multi_frame_step(
     )
     max_depth = jnp.where(is_spawn_slot | is_red_slot, new_maxd, max_depth)
 
-    # ---- re-predict the claimed slot (spawn replaced its data; redetection
-    # replaced its pose) so fusion + next-frame tracking see the new state;
-    # lax.cond skips the render entirely on the (common) no-claim frames
     def _repredict(_):
-        # the ungated seg depth is only consumed by the segmentation above
         return predict_one(
             obj_data[target_slot], obj_count[target_slot],
             obj_pose[target_slot],
-            jnp.float32(scfg.object_conf_threshold),  # claimed slots restart
+            jnp.float32(scfg.object_conf_threshold),
             new_maxd,
-        )[:4]
+        )
 
     def _keep(_):
         return (
@@ -693,7 +1213,6 @@ def multi_frame_step(
         opred, cl_pred,
     )
 
-    # ---- lost models (zero segment pixels; MultiMotionFusion.cpp:606-613) --
     slot_px = seg_res.pixel_counts[1 : 1 + n_slots]
     just_claimed = is_spawn_slot | is_red_slot
     unseen = jnp.where(
@@ -704,36 +1223,20 @@ def multi_frame_step(
     obj_active = obj_active & (unseen < cfg.model_unseen_patience)
     dying = was_active & ~obj_active
 
-    # ---- snapshot dying models for redetection (Model::store) -------------
-    ks = obj.stored_desc.shape[1]
-
-    def snapshot_one(slot_idx, pose_slot):
-        sel = tracks.active & (tracks.model_id == slot_idx + 1)
-        s_last = jnp.mod(tracks.last_seen, tracks.history)
-        p_cam = jnp.take_along_axis(
-            tracks.p3d, s_last[:, None, None], axis=1
-        )[:, 0]
-        hasd = jnp.take_along_axis(tracks.has_depth, s_last[:, None], axis=1)[:, 0]
-        valid = sel & hasd
-        pm = se3.transform_points(pose_slot, p_cam)
-        rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
-        dest = jnp.where(valid & (rank < ks), rank, ks)
-        d_out = jnp.zeros((ks + 1, tracks.desc.shape[1])).at[dest].set(
-            tracks.desc, mode="drop"
-        )[:ks]
-        p_out = jnp.zeros((ks + 1, 3)).at[dest].set(pm, mode="drop")[:ks]
-        v_out = jnp.zeros((ks + 1,), bool).at[dest].set(valid, mode="drop")[:ks]
-        return d_out, p_out, v_out
-
-    snap_d, snap_p, snap_v = jax.vmap(snapshot_one)(
-        jnp.arange(n_slots, dtype=jnp.int32), obj_pose
+    alive_cnt = jax.vmap(lambda d: jnp.sum((d[sm.ALIVE] > 0).astype(jnp.int32)))(
+        obj_data
     )
-    obj_stored = obj_stored | dying
-    stored_desc = jnp.where(dying[:, None, None], snap_d, obj.stored_desc)
-    stored_p3d = jnp.where(dying[:, None, None], snap_p, obj.stored_p3d)
-    stored_valid = jnp.where(dying[:, None], snap_v, obj.stored_valid)
+    mean_conf = jax.vmap(
+        lambda d: jnp.sum(jnp.where(d[sm.ALIVE] > 0, d[sm.CONF], 0.0))
+    )(obj_data) / jnp.maximum(alive_cnt.astype(jnp.float32), 1.0)
+    keep_gate = (alive_cnt >= cfg.min_inactive_surfels) & (mean_conf > 0.3)
+    snap_d, snap_p, snap_v = _snapshot_tracks(obj, tracks, obj_pose)
+    store_it = dying & keep_gate
+    obj_stored = obj_stored | store_it
+    stored_desc = jnp.where(store_it[:, None, None], snap_d, obj.stored_desc)
+    stored_p3d = jnp.where(store_it[:, None, None], snap_p, obj.stored_p3d)
+    stored_valid = jnp.where(store_it[:, None], snap_v, obj.stored_valid)
 
-    # ---- fusion weight (global) --------------------------------------------
     diff = new_pose0 @ se3.inverse_T(state.prev_pose)
     motion = jnp.maximum(
         jnp.linalg.norm(diff[:3, 3]), jnp.linalg.norm(se3.so3_log(diff[:3, :3]))
@@ -742,11 +1245,9 @@ def multi_frame_step(
         jnp.maximum(1.0 - jnp.minimum(motion, 0.01) / 0.01, 0.5) * weight_multiplier
     )
 
-    # ---- global model fuse + clean + predict -------------------------------
     fs_w = sm.compute_frame_surfels(
         rgb, vmap_raw, vmap_f, nmap_f, cam, time, scfg.depth_cutoff, weighting
     )
-    # im0/attrs0 were rendered at new_pose0 before segmentation (reused here)
     fused0 = fusion.fuse(
         sub, fs_w, im0, mask, 0, new_pose0, cam, time, scfg, attrs=attrs0
     )
@@ -756,7 +1257,6 @@ def multi_frame_step(
         compact=_compact_pred(time, scfg),
     )
     if cfg.reloc_mode:
-        # global fusion is skipped while lost (MultiMotionFusion.cpp:791)
         cleaned0 = sm.SurfelMap(
             data=jnp.where(lost, sub.data, cleaned0.data),
             count=jnp.where(lost, sub.count, cleaned0.count),
@@ -769,28 +1269,22 @@ def multi_frame_step(
         pred0, rgb, vmap_f, nmap_f, conf_img, rad_img, cfg.frame_to_frame_rgb
     )
 
-    # ---- object models fuse + clean (vmapped; predictions hoisted above) ---
     def fuse_one(slot_idx, data, count, pose, active, idx, dl, attrs,
                  conf_gate, max_depth):
         omap = sm.SurfelMap(data=data, count=count)
         mask_id = slot_idx + 1
         im = rasterize.IndexMap(index=idx, data_local=dl)
-        # frame pixels beyond the slot's depth band cannot enter its map
         fs_slot = sm.FrameSurfels(
             data=fs_w.data, valid=fs_w.valid & (fs_w.data[sm.PZ] <= max_depth)
         )
         fused = fusion.fuse(
             omap, fs_slot, im, mask, mask_id, pose, cam, time, scfg, attrs=attrs
         )
-        # object models clean/render at the LOW object confidence gate
-        # ('-confO' 0.01 vs '-confG' 10.0, MainController.cpp:77-78): young
-        # small models would otherwise render nothing for masked tracking
         cleaned = fusion.clean(
             fused, im, depth_filt, mask, mask_id, pose, cam,
             time, scfg.time_delta, conf_gate, scfg,
             attrs=attrs, compact=_compact_pred(time, scfg),
         )
-        # inactive slots: keep previous state untouched
         out_data = jnp.where(active, cleaned.data, data)
         out_count = jnp.where(active, cleaned.count, count)
         return out_data, out_count
@@ -799,14 +1293,12 @@ def multi_frame_step(
         jnp.arange(n_slots, dtype=jnp.int32), obj_data, obj_count, obj_pose,
         obj_active, oidx, odl, oattrs, conf_t, max_depth,
     )
-    opvc, opnr, opcol = opred.vertex_conf, opred.normal_rad, opred.color
     objects = ObjectSlots(
         data=odata, count=ocount, pose=obj_pose, active=obj_active,
         unseen=unseen, spawn_tick=obj_spawn_tick, conf_t=conf_t,
         max_depth=max_depth,
-        pred_vertex_conf=opvc, pred_normal_rad=opnr, pred_color=opcol,
         stored=obj_stored, stored_desc=stored_desc, stored_p3d=stored_p3d,
-        stored_valid=stored_valid, ext_id=obj_ext_id,
+        stored_valid=stored_valid, ext_id=obj.ext_id,
     )
 
     coarse = frame_pyr.intensity[cfg.odometry.num_pyr - 1]
@@ -832,6 +1324,7 @@ def multi_frame_step(
         prev_mask=mask, prev_intensity=intensity,
         last_spawn=jnp.where(claim, jnp.int32(time), state.last_spawn),
         ferns=ferns_db, bad_track_count=bad_count, lost=lost,
+        pose_matches=state.pose_matches,
     )
     aux = SpawnAux(
         spawn=spawn, redetect=any_red, slot=target_slot, refine_T=refine_T
@@ -839,7 +1332,9 @@ def multi_frame_step(
     return new_state, stats, mask, aux
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "cfg", "bucket_fuse"))
+@functools.partial(
+    jax.jit, static_argnames=("cam", "cfg", "bucket_fuse", "bucket_obj")
+)
 def multi_frame_steps_batch(
     state: MultiState,
     rgbs,
@@ -851,6 +1346,7 @@ def multi_frame_steps_batch(
     cam: CameraModel,
     cfg: EngineConfig,
     bucket_fuse: int,
+    bucket_obj: int | None = None,
 ):
     """k multi-model frames in ONE device dispatch via lax.scan.
 
@@ -859,21 +1355,21 @@ def multi_frame_steps_batch(
     comparable to the device step, so scanning k frames inside one
     executable amortises it k-fold. The multi-model step takes no per-frame
     host input outside precomputed-mask mode (lifecycle is in-graph), so the
-    scan is semantically identical to k single steps. The final segmentation
-    mask is state.prev_mask; per-frame lifecycle records (object poses,
-    active masks, spawn aux) come back stacked for lazy host expansion.
+    scan is semantically identical to k single steps. Per-frame lifecycle
+    records (object poses, active masks, spawn aux) AND per-frame
+    segmentation masks come back stacked for lazy host expansion.
     """
 
     def body(carry, inp):
         st, t = carry
         rgb_u8, depth_raw, uv = inp
-        st2, stats, _mask, aux = multi_frame_step(
+        st2, stats, mask, aux = multi_frame_step(
             st, rgb_u8, depth_raw, uv, t, weight_multiplier, sp_params,
-            cam, cfg, bucket_fuse,
+            cam, cfg, bucket_fuse, bucket_obj=bucket_obj,
         )
         out = (
             stats, st2.pose, st2.objects.pose, st2.objects.active,
-            aux.spawn, aux.slot, aux.refine_T,
+            aux.spawn, aux.slot, aux.refine_T, mask.astype(jnp.uint8),
         )
         return (st2, t + 1), out
 
@@ -882,13 +1378,12 @@ def multi_frame_steps_batch(
     # reloc is off — lax.scan double-buffers its carry, so anything big and
     # pass-through in it costs a per-frame copy
     full_data = state.smap.data
-    hoist_ferns = not cfg.reloc_mode
+    hoist_ferns = not (cfg.reloc_mode or cfg.close_loops)
     real_ferns = state.ferns
     state = state._replace(smap=state.smap.bucketed(bucket_fuse))
     if hoist_ferns:
         state = state._replace(ferns=ferns_mod.stub(real_ferns))
 
-    k = rgbs.shape[0]
     if uvs is None:
         def body_nouv(carry, inp):
             rgb_u8, depth_raw = inp
@@ -905,5 +1400,7 @@ def multi_frame_steps_batch(
     )
     if hoist_ferns:
         state = state._replace(ferns=real_ferns)
-    stats, poses, obj_poses, obj_active, spawns, slots, refine_Ts = outs
-    return state, stats, poses, obj_poses, obj_active, spawns, slots, refine_Ts
+    (stats, poses, obj_poses, obj_active, spawns, slots, refine_Ts,
+     masks) = outs
+    return (state, stats, poses, obj_poses, obj_active, spawns, slots,
+            refine_Ts, masks)

@@ -21,3 +21,7 @@ class FrameData:
     timestamp: int = 0
     mask: Optional[np.ndarray] = None
     name: str = ""
+    # optional ground-truth camera pose (4x4, world frame) travelling WITH the
+    # frame — the live-transport equivalent of the reference's tf lookup per
+    # frame (RosNodeReader.cpp:142-165); consumed by '-init tf'
+    gt_pose: Optional[np.ndarray] = None

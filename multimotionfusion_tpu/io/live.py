@@ -18,8 +18,14 @@ wire format (little endian):
                 f32 fx f32 fy f32 cx f32 cy  f32 depth_scale
     per frame:  b"FRAM" i64 timestamp_ns u8 flags
                 u32 depth_nbytes  u32 rgb_nbytes
+                [flags & 2: f32 tx ty tz qx qy qz qw — ground-truth camera
+                 pose in the producer's world frame (v2; the live analogue of
+                 the reference's per-frame tf lookup, RosNodeReader.cpp:142-165)]
                 depth payload (u16 millimetres, optionally zlib: flags & 1)
                 rgb payload   (u8 RGB interleaved, optionally zlib: flags & 1)
+
+v1 producers (no pose channel) remain accepted; '-init tf' then has no live
+ground truth, exactly like a camera without external tracking.
 
 ``LiveSocketReader`` accepts ONE producer connection, decodes frames on a
 daemon thread into a bounded latest-wins deque (LiveLogReader's bufferSize
@@ -46,9 +52,43 @@ from multimotionfusion_tpu.io.readers import LogReader
 
 _MAGIC = b"MMFL"
 _FRAME = b"FRAM"
-_VERSION = 1
+_VERSION = 2
 _HANDSHAKE = struct.Struct("<4sIII5f")
 _FRAME_HDR = struct.Struct("<4sqBII")
+_POSE = struct.Struct("<7f")  # tx ty tz qx qy qz qw (flags & 2)
+FLAG_ZLIB = 1
+FLAG_POSE = 2
+
+
+def _quat_to_mat(x, y, z, w) -> np.ndarray:
+    n = max(np.sqrt(x * x + y * y + z * z + w * w), 1e-12)
+    x, y, z, w = x / n, y / n, z / n, w / n
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ],
+        np.float64,
+    )
+
+
+def _mat_to_quat(R: np.ndarray):
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        return (
+            (R[2, 1] - R[1, 2]) / s, (R[0, 2] - R[2, 0]) / s,
+            (R[1, 0] - R[0, 1]) / s, 0.25 * s,
+        )
+    i = int(np.argmax(np.diag(R)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(max(1.0 + R[i, i] - R[j, j] - R[k, k], 1e-12)) * 2
+    q = [0.0, 0.0, 0.0, (R[k, j] - R[j, k]) / s]
+    q[i] = 0.25 * s
+    q[j] = (R[j, i] + R[i, j]) / s
+    q[k] = (R[k, i] + R[i, k]) / s
+    return q[0], q[1], q[2], q[3]
 
 
 def _recv_exact(sock: socket.socket, n: int) -> bytes:
@@ -90,6 +130,10 @@ class LiveSocketReader(LogReader):
         self._eof = False
         self._cam: Optional[CameraModel] = None
         self.dropped = 0
+        # ground-truth poses received on the v2 pose channel, keyed by
+        # timestamp; exposed first-relative like every other GT source
+        self._gt: dict = {}
+        self._gt_first: Optional[np.ndarray] = None
         self._thread = threading.Thread(target=self._pump, daemon=True)
         self._thread.start()
 
@@ -102,7 +146,7 @@ class LiveSocketReader(LogReader):
             conn.settimeout(self.timeout)
             hs = _HANDSHAKE.unpack(_recv_exact(conn, _HANDSHAKE.size))
             magic, version, w, h, fx, fy, cx, cy, depth_scale = hs
-            if magic != _MAGIC or version != _VERSION:
+            if magic != _MAGIC or version not in (1, _VERSION):
                 raise ConnectionError(f"bad live handshake: {magic} v{version}")
             with self._cv:
                 self._cam = CameraModel(
@@ -117,9 +161,17 @@ class LiveSocketReader(LogReader):
                 tag, ts, flags, dn, rn = _FRAME_HDR.unpack(hdr)
                 if tag != _FRAME:
                     raise ConnectionError("live stream desynchronised")
+                gt_pose = None
+                if flags & FLAG_POSE:
+                    tx, ty, tz, qx, qy, qz, qw = _POSE.unpack(
+                        _recv_exact(conn, _POSE.size)
+                    )
+                    gt_pose = np.eye(4)
+                    gt_pose[:3, :3] = _quat_to_mat(qx, qy, qz, qw)
+                    gt_pose[:3, 3] = (tx, ty, tz)
                 dpay = _recv_exact(conn, dn)
                 rpay = _recv_exact(conn, rn)
-                if flags & 1:
+                if flags & FLAG_ZLIB:
                     dpay = zlib.decompress(dpay)
                     rpay = zlib.decompress(rpay)
                 depth = (
@@ -130,7 +182,15 @@ class LiveSocketReader(LogReader):
                 with self._cv:
                     if len(self._buf) == self._buf.maxlen:
                         self.dropped += 1
-                    self._buf.append(FrameData(rgb=rgb, depth=depth, timestamp=ts))
+                    if gt_pose is not None:
+                        if self._gt_first is None:
+                            self._gt_first = gt_pose
+                        self._gt[ts] = gt_pose
+                    self._buf.append(
+                        FrameData(
+                            rgb=rgb, depth=depth, timestamp=ts, gt_pose=gt_pose
+                        )
+                    )
                     self._cv.notify_all()
         except (OSError, ConnectionError):
             pass
@@ -175,6 +235,20 @@ class LiveSocketReader(LogReader):
                 return
             yield f
 
+    def get_incremental_transformation(self, timestamp: int):
+        """GT pose at `timestamp` relative to the FIRST received GT pose, or
+        None if the producer sends no pose channel.
+
+        == the reference live reader's tf ground truth (RosNodeReader.cpp:
+        142-165 / RosBagReader.cpp:172-184: root->camera tf relative to the
+        first frame's), which feeds '-init tf' live."""
+        with self._cv:
+            T = self._gt.get(timestamp)
+            first = self._gt_first
+        if T is None or first is None:
+            return None
+        return (np.linalg.inv(first) @ T).astype(np.float32)
+
     def close(self):
         try:
             self._srv.close()
@@ -201,8 +275,16 @@ def publish_frames(
                 cam.fx, cam.fy, cam.cx, cam.cy, depth_scale,
             )
         )
-        flags = 1 if compress else 0
         for f in frames:
+            flags = FLAG_ZLIB if compress else 0
+            pose_payload = b""
+            if getattr(f, "gt_pose", None) is not None:
+                flags |= FLAG_POSE
+                T = np.asarray(f.gt_pose, np.float64)
+                qx, qy, qz, qw = _mat_to_quat(T[:3, :3])
+                pose_payload = _POSE.pack(
+                    T[0, 3], T[1, 3], T[2, 3], qx, qy, qz, qw
+                )
             depth_mm = np.rint(
                 np.clip(np.nan_to_num(f.depth) / depth_scale, 0, 65535)
             ).astype(np.uint16)
@@ -214,6 +296,7 @@ def publish_frames(
             s.sendall(
                 _FRAME_HDR.pack(_FRAME, int(f.timestamp), flags,
                                 len(dpay), len(rpay))
+                + pose_payload
             )
             s.sendall(dpay)
             s.sendall(rpay)

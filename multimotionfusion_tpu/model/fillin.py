@@ -30,8 +30,18 @@ def fill_in(
     frame_conf: jnp.ndarray,  # [H, W] pixel confidence of the frame
     frame_rad: jnp.ndarray,  # [H, W] surfel radius of the frame
     passthrough: bool | jnp.ndarray = False,
+    gate: jnp.ndarray | None = None,  # [H, W] bool: fill only where True
 ) -> FilledMaps:
-    use_frame = jnp.logical_or(~pred.valid, passthrough)[..., None]
+    """`gate` (composite multi-model mode): the reference only fills in the
+    GLOBAL model's prediction (Model::performFillIn is called for the global
+    model alone, MultiMotionFusion.cpp:871-875); in the owner-composite
+    prediction, only global-owned pixels may fall back to frame data — an
+    object pixel backed by the live frame would bias its tracking to
+    identity."""
+    use_frame = jnp.logical_or(~pred.valid, passthrough)
+    if gate is not None:
+        use_frame = use_frame & gate
+    use_frame = use_frame[..., None]
     color = jnp.where(use_frame, frame_rgb, pred.color)
     vc_frame = jnp.concatenate([frame_vmap, frame_conf[..., None]], axis=-1)
     nr_frame = jnp.concatenate([frame_nmap, frame_rad[..., None]], axis=-1)

@@ -382,6 +382,345 @@ def clean(
     return jax.lax.cond(compact, _packed, _flagged, data)
 
 
+def _transform_per_owner(data: jnp.ndarray, own: jnp.ndarray,
+                         poses: jnp.ndarray, n_models: int) -> jnp.ndarray:
+    """transform_surfels with a per-column pose selected by `own` [N].
+
+    One-hot accumulation over the (small, static) model count — M fused FMAs
+    instead of a per-column 12-coefficient gather.
+    """
+    px, py, pz = data[sm.PX], data[sm.PY], data[sm.PZ]
+    nx, ny, nz = data[sm.NX], data[sm.NY], data[sm.NZ]
+    rows_p = [jnp.zeros_like(px) for _ in range(3)]
+    rows_n = [jnp.zeros_like(px) for _ in range(3)]
+    for m in range(n_models):
+        R = poses[m, :3, :3]
+        t = poses[m, :3, 3]
+        sel = own == m
+        for i in range(3):
+            rows_p[i] = rows_p[i] + jnp.where(
+                sel, R[i, 0] * px + R[i, 1] * py + R[i, 2] * pz + t[i], 0.0
+            )
+            rows_n[i] = rows_n[i] + jnp.where(
+                sel, R[i, 0] * nx + R[i, 1] * ny + R[i, 2] * nz, 0.0
+            )
+    out = data
+    for i, (rp, rn) in enumerate(((sm.PX, sm.NX), (sm.PY, sm.NY), (sm.PZ, sm.NZ))):
+        out = out.at[rp].set(rows_p[i])
+        out = out.at[rn].set(rows_n[i])
+    return out
+
+
+def fuse_flat(
+    data_flat: jnp.ndarray,  # [CHANNELS, total] ALL models' surfels (model frames)
+    counts: jnp.ndarray,  # [M] per-segment high-water marks
+    seg_bases,  # static tuple, len M+1: segment boundaries in the flat array
+    frame: sm.FrameSurfels,  # camera-frame candidates (weighted)
+    index_map: IndexMap,  # owner-partitioned composite (predict_indices_flat)
+    mask: jnp.ndarray,  # [H, W] int32 pixel owner = model id (>= M excluded)
+    poses: jnp.ndarray,  # [M, 4, 4] model poses (camera -> model frame)
+    max_depth_all: jnp.ndarray,  # [M]
+    active_all: jnp.ndarray,  # [M] bool
+    cam: CameraModel,
+    time,
+    cfg: SurfelConfig,
+    attrs: jnp.ndarray,  # gather_attr_images of the composite index map
+):
+    """Composite fusion: ONE association/merge/append pass for ALL models.
+
+    Same per-pixel semantics as `fuse` run per model (the mask partitions
+    pixels, so each pixel only ever fused into its owner — reference
+    data.vert maskID gate), but the image-sized window search, checkerboard
+    extraction and scatter run ONCE instead of (1+S) times. Candidate taps
+    are owner-gated (own(q) == own(p)): the composite index map holds q's
+    owner's surfel at q, which only p's owner may merge with.
+
+    Returns (data_flat, counts) with per-segment appends.
+    """
+    from multimotionfusion_tpu.ops.rasterize import take_small
+
+    h, w = cam.height, cam.width
+    n_models = counts.shape[0]
+    total = data_flat.shape[1]
+
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    xl = (xs - cam.cx) / cam.fx
+    yl = (ys - cam.cy) / cam.fy
+
+    fz = frame.data[sm.PZ].reshape(h, w)
+    fnx = frame.data[sm.NX].reshape(h, w)
+    fny = frame.data[sm.NY].reshape(h, w)
+    fnz = frame.data[sm.NZ].reshape(h, w)
+
+    ti = jnp.int32(time)
+    xi = jnp.arange(w, dtype=jnp.int32)[None, :]
+    yi = jnp.arange(h, dtype=jnp.int32)[:, None]
+    checker = ((xi % 2) == (ti % 2)) & ((yi % 2) == (ti % 2))
+    neigh_ok = (
+        (_shift_with_invalid(fz, 0, -1, 0.0) > 0)
+        & (_shift_with_invalid(fz, 0, 1, 0.0) > 0)
+        & (_shift_with_invalid(fz, -1, 0, 0.0) > 0)
+        & (_shift_with_invalid(fz, 1, 0, 0.0) > 0)
+    )
+    own_ok = mask < n_models
+    active_px = take_small(active_all.astype(jnp.float32), mask, n_models) > 0.5
+    maxd_px = take_small(max_depth_all, mask, n_models)
+    participate = (
+        checker
+        & own_ok
+        & active_px
+        & neigh_ok
+        & frame.valid.reshape(h, w)
+        & (fz > 0)
+        & (fz <= jnp.minimum(maxd_px, cfg.depth_cutoff))
+    )
+
+    # --- owner-gated window search over the composite index map -----------
+    own_f = mask.astype(jnp.float32)
+    attrs_ext = jnp.concatenate([attrs, own_f[None]], axis=0)
+    own_ch = attrs.shape[0]
+    best_dist = jnp.full((h, w), jnp.float32(1000.0))
+    best_tgt = jnp.full((h, w), INVALID)
+    for dy, dx in _window_offsets(cfg.assoc_window):
+        cand = _shift_with_invalid(index_map.index, dy, dx, INVALID)
+        cvalid = cand >= 0
+        cdat = jnp.roll(attrs_ext, (-dy, -dx), axis=(1, 2))
+        cvalid = cvalid & (cdat[own_ch] == own_f)
+        cpx, cpy, cpz = cdat[sm.PX], cdat[sm.PY], cdat[sm.PZ]
+        zdiff = cpz - fz
+        lam = jnp.sqrt(xl * xl + yl * yl + 1.0)
+        z_ok = jnp.abs(zdiff * lam) < cfg.assoc_depth_gate
+        rx = yl * cpz - cpy
+        ry = cpx - xl * cpz
+        rz = xl * cpy - yl * cpx
+        dist = jnp.sqrt(rx * rx + ry * ry + rz * rz)
+        cnx, cny, cnz = cdat[sm.NX], cdat[sm.NY], cdat[sm.NZ]
+        cosang = jnp.clip(cnx * fnx + cny * fny + cnz * fnz, -1.0, 1.0)
+        n_ok = (jnp.abs(cnz) < 0.75) | (jnp.abs(jnp.arccos(cosang)) < 0.5)
+        better = cvalid & z_ok & n_ok & (dist < best_dist)
+        best_dist = jnp.where(better, dist, best_dist)
+        best_tgt = jnp.where(better, cand, best_tgt)
+
+    # --- checkerboard extraction (see fuse) --------------------------------
+    par = ti % 2
+    hc, wc = h // 2, w // 2
+    n_cb = hc * wc
+    stack = jnp.concatenate(
+        [
+            (participate & (best_tgt >= 0)).astype(jnp.float32)[None],
+            best_tgt.astype(jnp.float32)[None],
+            participate.astype(jnp.float32)[None],
+            own_f[None],
+            frame.data.reshape(sm.CHANNELS, h, w),
+        ],
+        axis=0,
+    )
+    rows = jax.lax.dynamic_slice(
+        stack, (jnp.int32(0), par, jnp.int32(0)), (stack.shape[0], h - 1, w)
+    )[:, ::2, :]
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (w, wc), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (w, wc), 1) * 2 + par
+    ).astype(jnp.float32)
+    sel = jax.lax.optimization_barrier(sel)
+    cb_all = jax.lax.dot_general(
+        rows.reshape(-1, w), sel, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(stack.shape[0], hc, wc)
+
+    merging = (cb_all[0] > 0.5).reshape(n_cb)
+    target_img = cb_all[1].astype(jnp.int32)
+    target = target_img.reshape(n_cb)
+    own_cb = cb_all[3].astype(jnp.int32).reshape(n_cb)
+
+    # --- merge (update.vert) in each pixel's OWNER's model frame -----------
+    new_global = _transform_per_owner(
+        cb_all[4:].reshape(sm.CHANNELS, n_cb), own_cb, poses, n_models
+    )
+    old_local = gather_attr_images(
+        index_map.data_local, target_img
+    ).reshape(sm.CHANNELS, n_cb)
+    old = _transform_per_owner(old_local, own_cb, poses, n_models)
+
+    c_k = old[sm.CONF]
+    a = new_global[sm.CONF]
+    csum = jnp.maximum(c_k + a, 1e-12)
+    rad_ok = new_global[sm.RADIUS] < 1.5 * old[sm.RADIUS]
+
+    def wavg(ch):
+        return (c_k * old[ch] + a * new_global[ch]) / csum
+
+    merged = old
+    for ch in (sm.PX, sm.PY, sm.PZ, sm.CR, sm.CG, sm.CB):
+        merged = merged.at[ch].set(jnp.where(rad_ok, wavg(ch), old[ch]))
+    nmx, nmy, nmz = wavg(sm.NX), wavg(sm.NY), wavg(sm.NZ)
+    nn = jnp.sqrt(jnp.maximum(nmx * nmx + nmy * nmy + nmz * nmz, 1e-12))
+    merged = merged.at[sm.NX].set(jnp.where(rad_ok, nmx / nn, old[sm.NX]))
+    merged = merged.at[sm.NY].set(jnp.where(rad_ok, nmy / nn, old[sm.NY]))
+    merged = merged.at[sm.NZ].set(jnp.where(rad_ok, nmz / nn, old[sm.NZ]))
+    merged = merged.at[sm.RADIUS].set(
+        jnp.where(rad_ok, wavg(sm.RADIUS), old[sm.RADIUS])
+    )
+    merged = merged.at[sm.CONF].set(c_k + a)
+    merged = merged.at[sm.LAST_T].set(jnp.float32(time))
+
+    # --- per-model appends --------------------------------------------------
+    new_mask = (cb_all[2] > 0.5).reshape(n_cb) & ~merging
+    # rank of each appending pixel WITHIN its model: one [n_cb, M] cumsum
+    oh = jnp.stack(
+        [(new_mask & (own_cb == m)).astype(jnp.float32) for m in range(n_models)],
+        axis=-1,
+    )
+    cums = jnp.cumsum(oh, axis=0)  # [n_cb, M]
+    rank = jnp.zeros((n_cb,), jnp.int32)
+    base = jnp.zeros((n_cb,), jnp.int32)
+    segcap_end = jnp.zeros((n_cb,), jnp.int32)
+    for m in range(n_models):
+        selm = own_cb == m
+        rank = jnp.where(selm, cums[:, m].astype(jnp.int32) - 1, rank)
+        base = jnp.where(selm, seg_bases[m] + counts[m], base)
+        segcap_end = jnp.where(selm, seg_bases[m + 1], segcap_end)
+    append_dst = base + rank
+    append_dst = jnp.where(
+        new_mask & (append_dst < segcap_end), append_dst, total
+    )
+    n_new = jnp.stack(
+        [
+            jnp.minimum(
+                jnp.sum(oh[:, m]).astype(jnp.int32),
+                jnp.maximum(seg_bases[m + 1] - seg_bases[m] - counts[m], 0),
+            )
+            for m in range(n_models)
+        ]
+    )
+
+    merge_dst = jnp.where(merging, target, total)
+    dst = jnp.concatenate([merge_dst, append_dst])
+    vals = jnp.concatenate([merged, new_global], axis=1)
+    n_src = 2 * n_cb
+    src_ids = jnp.arange(n_src, dtype=jnp.int32)
+    inv = jnp.full((total,), n_src, jnp.int32).at[dst].min(src_ids, mode="drop")
+    updated = inv < n_src
+    upd = vals[:, jnp.minimum(inv, n_src - 1)]
+    data = jnp.where(updated[None], upd, data_flat)
+    return data, counts + n_new
+
+
+def clean_flat(
+    data_flat: jnp.ndarray,  # [CHANNELS, total] POST-fuse flat storage
+    counts: jnp.ndarray,  # [M]
+    seg_model: jnp.ndarray,  # [total] int32 model id per slot
+    alive: jnp.ndarray,  # [total] bool (post-fuse)
+    index_map: IndexMap,
+    depth_input: jnp.ndarray,
+    mask: jnp.ndarray,  # [H, W] owner
+    conf_all: jnp.ndarray,  # [M] per-model confidence gates
+    cam: CameraModel,
+    time,
+    time_delta,
+    cfg: SurfelConfig,
+    attrs: jnp.ndarray,
+):
+    """Composite clean: ONE image pass + ONE verdict scatter for ALL models.
+
+    Mirrors `clean` per model (copy_unstable.vert tests) with owner-gated
+    window candidates and per-model confidence gates. Compaction is NOT done
+    here — the caller repacks segments periodically (per-segment compact).
+    Returns data_flat with penalties applied and ALIVE flags cleared.
+    """
+    from multimotionfusion_tpu.ops.rasterize import take_small
+
+    h, w = cam.height, cam.width
+    n_models = conf_all.shape[0]
+    total = data_flat.shape[1]
+    last_t = data_flat[sm.LAST_T]
+
+    idx_img = index_map.index
+    own_f = mask.astype(jnp.float32)
+    conf_px = take_small(conf_all, mask, n_models)
+    attrs_ext = jnp.concatenate(
+        [attrs, own_f[None], conf_px[None]], axis=0
+    )
+    own_ch = attrs.shape[0]
+    conf_ch = attrs.shape[0] + 1
+    qx, qy, qz = attrs[sm.PX], attrs[sm.PY], attrs[sm.PZ]
+    q_init = attrs[sm.INIT_T]
+    q_rad = attrs[sm.RADIUS]
+    q_nz = jnp.abs(attrs[sm.NZ])
+    has_winner = idx_img >= 0
+
+    count = jnp.zeros((h, w), jnp.int32)
+    z_count = jnp.zeros((h, w), jnp.int32)
+    for dy, dx in _window_offsets(cfg.assoc_window):
+        cand = _shift_with_invalid(idx_img, dy, dx, INVALID)
+        cdat = jnp.roll(attrs_ext, (-dy, -dx), axis=(1, 2))
+        cvalid = (
+            (cand >= 0) & (cand != idx_img) & has_winner
+            & (cdat[own_ch] == own_f)
+        )
+        czp, cconf = cdat[sm.PZ], cdat[sm.CONF]
+        cinit, clast = cdat[sm.INIT_T], cdat[sm.LAST_T]
+        cgate = cdat[conf_ch]
+        xy_dist = jnp.sqrt((cdat[sm.PX] - qx) ** 2 + (cdat[sm.PY] - qy) ** 2)
+        red = (
+            cvalid
+            & (cinit < q_init)
+            & (cconf > cgate)
+            & (czp > qz)
+            & (czp - qz < 0.01)
+            & (xy_dist < q_rad * 1.4)
+        )
+        count = count + red.astype(jnp.int32)
+        zc = (
+            cvalid
+            & (clast == time)
+            & (cconf > cgate)
+            & (czp > qz)
+            & (czp - qz > 0.01)
+            & (q_nz > 0.85)
+        )
+        z_count = z_count + zc.astype(jnp.int32)
+
+    violations = jnp.zeros((h, w), jnp.int32)
+    viol_sum = jnp.zeros((h, w), jnp.float32)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            d = _shift_with_invalid(depth_input, dy, dx, 0.0)
+            delta = d - qz
+            hit = has_winner & (d > 0) & (delta > cfg.clean_see_through_gate)
+            violations = violations + hit.astype(jnp.int32)
+            viol_sum = viol_sum + jnp.where(hit, delta, 0.0)
+
+    viol = violations > 0
+    avg_v = viol_sum / jnp.maximum(violations.astype(jnp.float32), 1.0)
+    pen = jnp.where(viol, 1.0 / (1.0 + cfg.outlier_coeff * avg_v), 1.0)
+    # composite note: the winner at p IS p's owner's surfel, so the
+    # reference's foreign-mask softening (mask != mask_id) never applies
+    cull_vis = has_winner & ((count > 8) | (z_count > 4))
+
+    ids = jnp.where(has_winner, idx_img, total).reshape(-1)
+    verdict = jnp.where(cull_vis, -1.0, pen).reshape(-1)
+    verdict_per_surfel = (
+        jnp.ones((total,), jnp.float32).at[ids].min(verdict, mode="drop")
+    )
+    cull_flags = verdict_per_surfel < 0.0
+    pen_per_surfel = jnp.where(cull_flags, 1.0, verdict_per_surfel)
+
+    conf_t_surf = take_small(conf_all, seg_model, n_models)
+    keep = alive & ~cull_flags
+    unstable_dead = ((time - last_t) > cfg.unstable_grace) & (
+        data_flat[sm.CONF] < conf_t_surf
+    )
+    keep = keep & ~unstable_dead
+    keep = keep | (alive & (last_t > 0) & (time - last_t > time_delta))
+
+    data = data_flat.at[sm.CONF].mul(pen_per_surfel)
+    data = data.at[sm.ALIVE].set(jnp.where(keep, data[sm.ALIVE], 0.0))
+    return data
+
+
 def compact_map(smap: sm.SurfelMap) -> sm.SurfelMap:
     """Maintenance pass: repack live surfels to the front of the storage.
 

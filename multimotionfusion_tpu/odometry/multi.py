@@ -1,0 +1,472 @@
+"""Composite multi-model dense odometry: ALL rigid-body models in ONE pass.
+
+The reference tracks models sequentially — one full RGBDOdometry solve per
+model per frame (Core/MultiMotionFusion.cpp:312-387), each burning a full
+image's worth of kernel work even though each model only owns a fraction of
+the pixels (its mask). Round-2 of this port vmapped that loop, which on TPU
+still pays (1+S) image-sized gathers/warps per GN iteration.
+
+This module exploits the disjointness the reference never does: the
+segmentation mask partitions pixels between models, so ONE image-sized GN
+pass can solve ALL models simultaneously:
+
+- the prediction image is a per-pixel COMPOSITE: pixel p carries the
+  prediction of the model that owns p (own[p] = previous mask);
+- per GN iteration, each pixel is warped by ITS OWNER's current increment
+  (a one-hot accumulation over the <= M poses — VPU-cheap), and the tap bank
+  is sampled ONCE for all models (the gather is the hot op; it now costs 1x
+  instead of (1+S)x);
+- per-model normal systems fall out of ONE MXU matmul: rows [P, 8]
+  (Jacobian | residual | found) are contracted against the owner one-hot
+  [P, M] => [M, 8, 8] blocks holding A, b, sum r^2 and the inlier count of
+  every model at once;
+- the M 6x6 solves/updates are vmapped (microseconds).
+
+Per-model semantics preserved from the sequential path (and the reference):
+masked rows (a pixel contributes only to its owner — reference maskID
+semantics, cudafuncs.cu:109-150 createVMap + reduce.cu mask gates), per-model
+divergence guards and early exits, per-model seed arbitration. Documented
+deviation: prediction taps near mask boundaries are owner-gated (a model
+samples only its own prediction pixels), where the reference's per-model
+index maps would supply that model's surfels even at pixels it does not own
+— a <= splat-radius boundary effect.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from multimotionfusion_tpu.config import CameraModel, OdometryConfig
+from multimotionfusion_tpu.odometry import rgbd
+from multimotionfusion_tpu.ops import image as imops
+from multimotionfusion_tpu.utils import se3
+
+
+class MultiOdometryResult(NamedTuple):
+    poses: jnp.ndarray  # [M, 4, 4]
+    icp_error: jnp.ndarray  # [M]
+    icp_count: jnp.ndarray  # [M]
+    rgb_error: jnp.ndarray  # [M]
+    rgb_count: jnp.ndarray  # [M]
+    A: jnp.ndarray  # [M, 6, 6]
+    b: jnp.ndarray  # [M, 6]
+
+
+def _own_onehot(own: jnp.ndarray, n_models: int) -> jnp.ndarray:
+    """[H, W, M] f32 one-hot of the pixel owner (rows for own >= M are zero)."""
+    return jnp.stack(
+        [(own == m).astype(jnp.float32) for m in range(n_models)], axis=-1
+    )
+
+
+def _per_owner_transform(vmap_hw3, own, Rts, rotate_only: bool = False):
+    """Apply each pixel's OWNER's rigid transform: out[p] = R[own[p]] v[p] + t.
+
+    One-hot accumulation over the (static, small) model count — M fused FMAs
+    on the VPU instead of a 307k-index gather of 12 coefficients.
+    """
+    acc = jnp.zeros_like(vmap_hw3)
+    hi = jax.lax.Precision.HIGHEST
+    for m in range(Rts.shape[0]):
+        v = jnp.einsum("ij,hwj->hwi", Rts[m, :3, :3], vmap_hw3, precision=hi)
+        if not rotate_only:
+            v = v + Rts[m, :3, 3]
+        acc = acc + jnp.where((own == m)[..., None], v, 0.0)
+    return acc
+
+
+def _seg_systems(rows: jnp.ndarray, oh_flat: jnp.ndarray) -> jnp.ndarray:
+    """[P, C] rows + [P, M] owner one-hot -> [M, C, C] per-model normal systems.
+
+    The owner-weighted row matrix [P, M*C] contracted with rows on the MXU:
+    S[m] = sum_{p: own(p)=m} rows_p rows_p^T. Precision.HIGHEST is load-
+    bearing (bf16 would round Jacobian products; see fusion.py's id matmul).
+    """
+    p, c = rows.shape
+    m = oh_flat.shape[1]
+    a2 = (oh_flat[:, :, None] * rows[:, None, :]).reshape(p, m * c)
+    S = jax.lax.dot_general(
+        a2, rows, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return S.reshape(m, c, c)
+
+
+def _seg_sums(vals: jnp.ndarray, oh_flat: jnp.ndarray) -> jnp.ndarray:
+    """[P] values + [P, M] one-hot -> [M] per-model sums (one MXU matvec)."""
+    return jax.lax.dot_general(
+        oh_flat, vals[:, None], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )[:, 0]
+
+
+def rgb_static_valid_multi(level: rgbd.LevelData, min_scale: float, n_models: int):
+    """Owner-aware photometric validity (cf. rgbd.rgb_static_valid).
+
+    The reference gates each model's rows to its mask and requires the 4x4
+    support window fully valid within that mask (reduce.cu:770-800). Composite
+    form: every in-bounds window tap must be intensity-valid AND owned by the
+    centre pixel's owner.
+    """
+    h, w = level.img_next.shape
+    xg = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
+    yg = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
+    own = level.mask_next
+    ok = (level.img_next > 0) & (own < n_models)
+
+    neigh = jnp.zeros((h, w), jnp.float32)
+    tap_count = jnp.zeros((h, w), jnp.float32)
+    for oy in (-2, -1, 0, 1):
+        for ox in (-2, -1, 0, 1):
+            t_ok = imops._shift2d(ok.astype(jnp.float32), oy, ox)
+            t_own = imops._shift2d(own, oy, ox)
+            same = (t_own == own).astype(jnp.float32)
+            neigh = neigh + t_ok * same
+            # in-bounds tap counter (shift2d pads with 0; emulate via ones)
+            tap_count = tap_count + imops._shift2d(jnp.ones((h, w)), oy, ox)
+    valid = neigh >= tap_count - 1e-3
+    valid = valid & (xg < w - 5) & (yg < h - 1)
+    m2 = level.didx**2 + level.didy**2
+    valid = valid & (m2 >= min_scale) & (level.depth_next > 0) & ok
+    return valid
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "cam", "n_models"))
+def multi_incremental_transformation(
+    T_prev: jnp.ndarray,  # [M, 4, 4] per-model previous poses (0 = global)
+    levels: Sequence[rgbd.LevelData],  # COMPOSITE level data; mask_next = owner
+    last_next_img_l2: jnp.ndarray,
+    cfg: OdometryConfig,
+    cam: CameraModel,
+    n_models: int,
+    T_init: jnp.ndarray | None = None,  # [M, 4, 4] per-model seeds
+    seed_valid: jnp.ndarray | None = None,  # [M]
+    active: jnp.ndarray | None = None,  # [M] (inactive models hold their pose)
+) -> MultiOdometryResult:
+    """All models' GN solves in one image-sized pass (see module docstring)."""
+    use_icp = (not cfg.rgb_only) and cfg.icp_weight > 0
+    use_rgb = cfg.rgb_only or cfg.icp_weight < 100
+    assert use_icp, "composite multi-odometry requires the ICP term"
+    f32 = jnp.float32
+    M = n_models
+    T_prev = T_prev.astype(f32)
+    if active is None:
+        active = jnp.ones((M,), bool)
+
+    # ---- SO(3) pre-alignment: ONCE for the camera (full-frame intensity).
+    # The vmapped path ran it per model on the SAME images, producing the
+    # same camera rotation M times (an object's own rotation is unobservable
+    # from full-frame intensity); one run is exact and (1+S)x cheaper.
+    so3_Rt = jnp.eye(4, dtype=f32)
+    if cfg.so3_prealign and cfg.so3_iterations > 0:
+        lvl = cfg.num_pyr - 1
+        cam_l = cam.level(lvl)
+        K = rgbd._K(cam_l)
+        Kinv = rgbd._K_inv(cam_l)
+        big = jnp.array(3.4e38 / 2, f32)
+        ngx, ngy = rgbd.central_grads(levels[lvl].img_next)
+        so3_bank = rgbd.pack_bilinear_bank([levels[lvl].img_next, ngx, ngy])
+        last_grads = rgbd.central_grads(last_next_img_l2)
+
+        def so3_cond(carry):
+            return (carry[0] < cfg.so3_iterations) & ~carry[4]
+
+        def so3_body(carry):
+            j, R, last_err, last_R, done = carry
+            S, cnt = rgbd.so3_system(
+                last_next_img_l2, so3_bank, last_grads, K @ R @ Kinv, Kinv,
+                K @ R,
+            )
+            cntf = cnt.astype(f32)
+            err = jnp.sqrt(S[3, 3]) / jnp.maximum(cntf, 1.0)
+            converged = (err < last_err) & (jnp.abs(last_err - cntf) < 0.001)
+            diverging = err > last_err + 0.001
+            delta = rgbd.solve_preconditioned(S[:3, :3], S[:3, 3])
+            dn = jnp.linalg.norm(delta)
+            delta = delta * jnp.minimum(1.0, 0.1 / jnp.maximum(dn, 1e-12))
+            delta = jnp.where(cnt >= 60, delta, jnp.zeros_like(delta))
+            R_new = se3.so3_exp(delta) @ R
+            R_out = jnp.where(
+                done | converged, R, jnp.where(diverging, last_R, R_new)
+            )
+            return (j + 1, R_out, jnp.where(done, last_err, err),
+                    jnp.where(done, last_R, R), done | converged | diverging)
+
+        init = (jnp.array(0, jnp.int32), jnp.eye(3, dtype=f32), big,
+                jnp.eye(3, dtype=f32), jnp.array(False))
+        out = jax.lax.while_loop(so3_cond, so3_body, init)
+        so3_Rt = so3_Rt.at[:3, :3].set(out[1])
+
+    # per-model initial increments: external seed where valid, else SO(3)
+    so3_all = jnp.broadcast_to(so3_Rt, (M, 4, 4))
+    if T_init is not None:
+        seed_Rt = jax.vmap(lambda Ti, Tp: se3.inverse_T(Ti.astype(f32)) @ Tp)(
+            T_init, T_prev
+        )
+        sv = jnp.ones((M,), bool) if seed_valid is None else seed_valid
+        result_Rt = jnp.where(sv[:, None, None], seed_Rt, so3_all)
+    else:
+        result_Rt = so3_all
+
+    schedule = cfg.schedule()
+    icp_err = jnp.zeros((M,), f32)
+    icp_count = jnp.zeros((M,), f32)
+    rgb_err = jnp.zeros((M,), f32)
+    rgb_count = jnp.zeros((M,), f32)
+    lastA = jnp.zeros((M, 6, 6), f32)
+    lastb = jnp.zeros((M, 6), f32)
+
+    def eval_systems(result_Rt, sampler, px, oh_flat, own_sub, cam_l,
+                     last_rgb_err, scale2):
+        """Evaluate ALL models' ICP+RGB systems at their current increments."""
+        (vmap_curr, nmap_curr, img_next, didx, didy, static_valid,
+         v_valid) = px
+        Rt_inv = jax.vmap(se3.inverse_T)(result_Rt)  # [M,4,4]
+        vcp = _per_owner_transform(vmap_curr, own_sub, Rt_inv)
+        z = vcp[..., 2]
+        safe_z = jnp.where(z != 0, z, 1.0)
+        uf = vcp[..., 0] * cam_l.fx / safe_z + cam_l.cx
+        vf = vcp[..., 1] * cam_l.fy / safe_z + cam_l.cy
+        ps = sampler(uf, vf)
+
+        # ---- ICP rows (per-pixel; reduced per model below) ---------------
+        d_cp, vprev_ok = ps.d_cp, ps.d_ok
+        n_cp, nprev_ok = ps.n_cp, ps.n_ok
+        nn = jnp.linalg.norm(n_cp, axis=-1, keepdims=True)
+        n_cp = n_cp / jnp.maximum(nn, 1e-12)
+        in_bounds = vprev_ok & nprev_ok & (z > 0) & v_valid
+        nc_cp = _per_owner_transform(nmap_curr, own_sub, Rt_inv,
+                                     rotate_only=True)
+        dist = jnp.linalg.norm(d_cp - vcp, axis=-1)
+        sine = jnp.linalg.norm(jnp.cross(nc_cp, n_cp), axis=-1)
+        ncurr_valid = jnp.sum(nmap_curr * nmap_curr, axis=-1) > 0
+        found = (
+            in_bounds & (sine < cfg.angle_thresh) & (dist <= cfg.dist_thresh)
+            & ncurr_valid
+        )
+        r = jnp.sum(n_cp * (vcp - d_cp), axis=-1)
+        icp_rows = jnp.concatenate(
+            [n_cp, jnp.cross(vcp, n_cp), r[..., None],
+             jnp.ones_like(r)[..., None]], axis=-1,
+        )
+        icp_rows = jnp.where(found[..., None], icp_rows, 0.0).reshape(-1, 8)
+        S_icp = _seg_systems(icp_rows, oh_flat) * scale2  # [M,8,8]
+        icp_cnt = S_icp[:, 7, 7]
+
+        # ---- RGB rows -----------------------------------------------------
+        S_rgb = jnp.zeros((M, 8, 8), f32)
+        rgb_size = jnp.zeros((M,), f32)
+        tmp_err = jnp.zeros((M,), f32)
+        if use_rgb:
+            valid, cp, diff, _sig, _cnt, _err = rgbd.rgb_correspondences(
+                ps, uf, vf, z, img_next, static_valid,
+                cfg.max_depth_delta_rgb, cam_l,
+            )
+            vflat = valid.astype(f32).reshape(-1)
+            rgb_size = _seg_sums(vflat, oh_flat) * scale2  # [M]
+            sigma = _seg_sums((diff * diff).reshape(-1), oh_flat) * scale2
+            tmp_err = jnp.sqrt(sigma) / jnp.maximum(rgb_size, 1.0)
+            sigma_val = jnp.where(tmp_err == 0, 1.0, rgb_size)  # [M]
+            # per-pixel sigma of the pixel's owner
+            sig_px = jnp.zeros(valid.shape, f32)
+            for m in range(M):
+                sig_px = sig_px + jnp.where(own_sub == m, sigma_val[m], 0.0)
+            w_raw = sig_px + jnp.abs(diff)
+            wgt = jnp.where(w_raw > 1.19209290e-7, 1.0 / w_raw, 1.0)
+            zc = cp[..., 2]
+            invz = jnp.where(zc != 0, 1.0 / jnp.where(zc != 0, zc, 1.0), 0.0)
+            dI_dx = wgt * cfg.sobel_scale * didx
+            dI_dy = wgt * cfg.sobel_scale * didy
+            v0c = dI_dx * cam_l.fx * invz
+            v1c = dI_dy * cam_l.fy * invz
+            v2c = -(v0c * cp[..., 0] + v1c * cp[..., 1]) * invz
+            rgb_rows = jnp.stack(
+                [
+                    v0c, v1c, v2c,
+                    -cp[..., 2] * v1c + cp[..., 1] * v2c,
+                    cp[..., 2] * v0c - cp[..., 0] * v2c,
+                    -cp[..., 1] * v0c + cp[..., 0] * v1c,
+                    -wgt * diff,
+                    jnp.zeros_like(diff),
+                ],
+                axis=-1,
+            )
+            rgb_rows = jnp.where(valid[..., None], rgb_rows, 0.0).reshape(-1, 8)
+            S_rgb = _seg_systems(rgb_rows, oh_flat) * scale2
+
+        return S_icp, icp_cnt, S_rgb, rgb_size, tmp_err
+
+    for i in range(cfg.num_pyr - 1, -1, -1):
+        iters = schedule[i]
+        if iters == 0:
+            continue
+        cam_l = cam.level(i)
+        level = levels[i]
+        min_scale = (cfg.min_grad_magnitudes[i] ** 2) / (cfg.sobel_scale**2)
+
+        own_lvl = level.mask_next
+        compact = i == 0
+        if compact:
+            joint_bank = rgbd.build_compact_bank(
+                level.vmap_prev[..., 2], level.nmap_prev,
+                level.img_last if use_rgb else None, own_map=own_lvl,
+            )
+            sampler = functools.partial(
+                rgbd.sample_compact, joint_bank, cam=cam_l, use_icp=True,
+                use_rgb=use_rgb, max_depth_rgb=cfg.max_depth_rgb,
+                own_gated=True,
+            )
+        else:
+            joint_bank = rgbd.build_generic_bank(
+                level.vmap_prev, level.nmap_prev,
+                level.depth_last if use_rgb else None,
+                level.img_last if use_rgb else None, own_map=own_lvl,
+            )
+            sampler = functools.partial(
+                rgbd.sample_generic, joint_bank, use_icp=True,
+                use_rgb=use_rgb, own_gated=True,
+            )
+        v_valid = level.vmap_curr[..., 2] > 0
+        static_valid = (
+            rgb_static_valid_multi(level, min_scale, M) if use_rgb else None
+        )
+        px_full = (
+            level.vmap_curr, level.nmap_curr, level.img_next,
+            level.didx, level.didy, static_valid, v_valid,
+        )
+        sub = cfg.fine_subsample if i == 0 else 1
+        if sub == 2:
+            vm, nm, im_n, dx_, dy_, sv_, vv_ = px_full
+            chans = [im_n[None], dx_[None], dy_[None],
+                     vv_.astype(jnp.float32)[None],
+                     own_lvl.astype(jnp.float32)[None]]
+            if sv_ is not None:
+                chans.append(sv_.astype(jnp.float32)[None])
+            chans += [jnp.moveaxis(vm, -1, 0), jnp.moveaxis(nm, -1, 0)]
+            dec = imops.decimate2(jnp.concatenate(chans, axis=0))
+            k = 6 if sv_ is not None else 5
+            own_sub = dec[4].astype(jnp.int32)
+            px = (
+                jnp.moveaxis(dec[k : k + 3], 0, -1),
+                jnp.moveaxis(dec[k + 3 : k + 6], 0, -1),
+                dec[0], dec[1], dec[2],
+                (dec[5] > 0.5) if sv_ is not None else None,
+                dec[3] > 0.5,
+            )
+            scale2 = jnp.float32(4.0)
+        elif sub > 1:
+            px = tuple(
+                None if a is None else a[::sub, ::sub] for a in px_full
+            )
+            own_sub = own_lvl[::sub, ::sub]
+            scale2 = jnp.float32(sub * sub)
+        else:
+            px = px_full
+            own_sub = own_lvl
+            scale2 = jnp.float32(1.0)
+
+        # sampling is owner-gated through the bank; rows with own >= M zero
+        # out through the one-hot
+        oh_flat = _own_onehot(own_sub, M).reshape(-1, M)
+        # bank owner gating needs the row owner at the sampled pixel
+        sampler_o = functools.partial(sampler, own_row=own_sub)
+
+        if i == cfg.num_pyr - 1 and T_init is not None:
+            # per-model seed arbitration: dense evidence picks seed vs SO(3)
+            def _arb_err(Rt_all):
+                S_i, cnt_i, _, _, _ = eval_systems(
+                    Rt_all, sampler_o, px, oh_flat, own_sub, cam_l,
+                    jnp.full((M,), 3.4e38, f32), scale2,
+                )
+                e = jnp.sqrt(S_i[:, 6, 6]) / jnp.maximum(cnt_i, 1.0)
+                return jnp.where(cnt_i >= 60, e, jnp.inf)
+
+            e_cur = _arb_err(result_Rt)
+            e_so3 = _arb_err(so3_all)
+            result_Rt = jnp.where(
+                (e_cur <= e_so3)[:, None, None], result_Rt, so3_all
+            )
+
+        def level_cond(carry, iters=iters):
+            return (carry[0] < iters) & ~jnp.all(carry[9])
+
+        def level_body(carry, cam_l=cam_l, sampler_o=sampler_o, px=px,
+                       oh_flat=oh_flat, own_sub=own_sub, scale2=scale2):
+            (j, result_Rt, icp_err, icp_count, rgb_err, rgb_count, lastA,
+             lastb, last_rgb_err, stopped) = carry
+
+            S_icp, icp_cnt, S_rgb, rgb_size, tmp_err = eval_systems(
+                result_Rt, sampler_o, px, oh_flat, own_sub, cam_l,
+                last_rgb_err, scale2,
+            )
+            A_icp, b_icp = S_icp[:, :6, :6], S_icp[:, :6, 6]
+            A_rgbd, b_rgbd = S_rgb[:, :6, :6], S_rgb[:, :6, 6]
+            if use_rgb:
+                w = cfg.icp_weight
+                A = A_rgbd + w * w * A_icp
+                b = b_rgbd + w * w * b_icp
+            else:
+                A, b = A_icp, b_icp
+
+            x = jax.vmap(
+                lambda Am, bm: rgbd.clamp_step(rgbd.solve_preconditioned(Am, bm))
+            )(A, b)
+            Rt_new = jax.vmap(se3.gn_update_pose)(result_Rt, x)
+
+            enough = (icp_cnt + rgb_size) >= 60
+            upd = ~stopped & enough & active
+            result_Rt = jnp.where(upd[:, None, None], Rt_new, result_Rt)
+            eps = cfg.convergence_eps
+            converged = (
+                upd
+                & (jnp.linalg.norm(x[:, 0:3], axis=-1) < eps)
+                & (jnp.linalg.norm(x[:, 3:6], axis=-1) < eps)
+            )
+            stopped = stopped | ~enough | converged
+            icp_err_new = jnp.sqrt(S_icp[:, 6, 6]) / jnp.maximum(icp_cnt, 1.0)
+            return (
+                j + 1,
+                result_Rt,
+                jnp.where(upd, icp_err_new, icp_err),
+                jnp.where(upd, icp_cnt, icp_count),
+                jnp.where(upd, tmp_err, rgb_err),
+                jnp.where(upd, rgb_size, rgb_count),
+                jnp.where(upd[:, None, None], A, lastA),
+                jnp.where(upd[:, None], b, lastb),
+                jnp.where(upd, tmp_err, last_rgb_err),
+                stopped,
+            )
+
+        carry = (
+            jnp.array(0, jnp.int32), result_Rt, icp_err, icp_count, rgb_err,
+            rgb_count, lastA, lastb, jnp.full((M,), 3.4e38, f32),
+            jnp.zeros((M,), bool),
+        )
+        carry = jax.lax.while_loop(level_cond, level_body, carry)
+        (_, result_Rt, icp_err, icp_count, rgb_err, rgb_count, lastA, lastb,
+         _, _) = carry
+
+    T_new = jax.vmap(lambda Tp, Rt: Tp @ se3.inverse_T(Rt))(T_prev, result_Rt)
+    if use_rgb:
+        diverged = (
+            jnp.linalg.norm(T_new[:, :3, 3] - T_prev[:, :3, 3], axis=-1)
+            > cfg.divergence_trans_norm
+        )
+        T_new = jnp.where(diverged[:, None, None], T_prev, T_new)
+    T_new = jnp.where(active[:, None, None], T_new, T_prev)
+
+    return MultiOdometryResult(
+        poses=T_new,
+        icp_error=icp_err,
+        icp_count=icp_count,
+        rgb_error=rgb_err,
+        rgb_count=rgb_count,
+        A=lastA,
+        b=lastb,
+    )

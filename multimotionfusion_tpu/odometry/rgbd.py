@@ -220,43 +220,69 @@ class PredSample(NamedTuple):
 
 
 def build_generic_bank(d_cp_map, n_cp_map, depth_last, img_last,
-                       dtype=jnp.float32) -> jnp.ndarray:
+                       dtype=jnp.float32, own_map=None) -> jnp.ndarray:
     """Full-channel sampling bank (coarse levels): the prediction vertex and
-    normal maps enter verbatim. f32 by default — coarse banks are small."""
+    normal maps enter verbatim. f32 by default — coarse banks are small.
+
+    own_map (composite multi-model tracking): per-pixel owner of the
+    prediction, stored as own+1 in the LAST channel so samplers can gate taps
+    to the row's model (odometry/multi.py)."""
     maps = []
     if d_cp_map is not None:
         maps += [d_cp_map, n_cp_map]
     if depth_last is not None:
         maps += [depth_last, img_last]
+    if own_map is not None:
+        maps.append((own_map + 1).astype(jnp.float32))
     return pack_bilinear_bank(maps, dtype=dtype)
 
 
-def sample_generic(bank, uf, vf, use_icp: bool, use_rgb: bool) -> PredSample:
+def _own_tap_ok(taps, own_ch: int, own_row):
+    """All four bilinear taps owned by the row's model (own stored as own+1)."""
+    want = (own_row + 1).astype(jnp.float32)
+    ok = None
+    for t in taps:
+        eq = t[..., own_ch] == want
+        ok = eq if ok is None else (ok & eq)
+    return ok
+
+
+def sample_generic(bank, uf, vf, use_icp: bool, use_rgb: bool,
+                   own_gated: bool = False, own_row=None) -> PredSample:
     rgb_off = 6 if use_icp else 0
-    c = rgb_off + (2 if use_rgb else 0)
+    c = rgb_off + (2 if use_rgb else 0) + (1 if own_gated else 0)
     taps, fu, fv, inb = bilinear_taps(bank, uf, vf, c)
+    own_ok = _own_tap_ok(taps, c - 1, own_row) if own_gated else None
     d_cp = d_ok = n_cp = n_ok = dl = dl_ok = il = il_ok = None
     if use_icp:
         d_cp, d_ok = _interp_valid(taps, fu, fv, inb, slice(0, 3))
         n_cp, n_ok = _interp_valid(taps, fu, fv, inb, slice(3, 6))
+        if own_gated:
+            d_ok = d_ok & own_ok
+            n_ok = n_ok & own_ok
     if use_rgb:
         d, dk = _interp_valid(taps, fu, fv, inb, slice(rgb_off, rgb_off + 1))
         im, ik = _interp_valid(
             taps, fu, fv, inb, slice(rgb_off + 1, rgb_off + 2)
         )
         dl, dl_ok, il, il_ok = d[..., 0], dk, im[..., 0], ik
+        if own_gated:
+            dl_ok = dl_ok & own_ok
+            il_ok = il_ok & own_ok
     return PredSample(d_cp, d_ok, n_cp, n_ok, dl, dl_ok, il, il_ok)
 
 
-def build_compact_bank(pred_depth, n_cp_map, img_last) -> jnp.ndarray:
-    """Ray-reconstructed level-0 sampling bank (bf16, <= 6 channels x 4 taps).
+def build_compact_bank(pred_depth, n_cp_map, img_last, own_map=None) -> jnp.ndarray:
+    """Ray-reconstructed level-0 sampling bank (bf16, <= 7 channels x 4 taps).
 
     The level-0 prediction vertex map is EXACTLY ray * depth (splat_resolve
     emits vertex = (lx*z, ly*z, z); create_vmap likewise), so only the depth
     needs storing — positions are rebuilt per tap from the tap's pixel ray.
     Depth is split hi/lo into two bf16 channels (16 effective mantissa bits,
     ~1.5e-5 relative) so the ICP target keeps f32-grade precision while the
-    gather moves half the bytes. Channels: [z_hi, z_lo, nx, ny, nz?, img?].
+    gather moves half the bytes. Channels: [z_hi, z_lo, nx, ny, nz?, img?,
+    own+1?] — the optional owner channel gates taps to the row's model in
+    composite multi-model tracking (values <= 256, bf16-exact).
     """
     zhi = pred_depth.astype(jnp.bfloat16)
     zlo = (pred_depth - zhi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -265,14 +291,20 @@ def build_compact_bank(pred_depth, n_cp_map, img_last) -> jnp.ndarray:
         maps.append(n_cp_map)
     if img_last is not None:
         maps.append(img_last)
+    if own_map is not None:
+        maps.append((own_map + 1).astype(jnp.float32))
     return pack_bilinear_bank(maps, dtype=jnp.bfloat16)
 
 
 def sample_compact(bank, uf, vf, cam: CameraModel, use_icp: bool,
-                   use_rgb: bool, max_depth_rgb: float) -> PredSample:
-    c = 2 + (3 if use_icp else 0) + (1 if use_rgb else 0)
+                   use_rgb: bool, max_depth_rgb: float,
+                   own_gated: bool = False, own_row=None) -> PredSample:
+    c = 2 + (3 if use_icp else 0) + (1 if use_rgb else 0) + (
+        1 if own_gated else 0
+    )
     h, w = bank.shape[:2]
     taps, fu, fv, inb = bilinear_taps(bank, uf, vf, c)
+    own_ok = _own_tap_ok(taps, c - 1, own_row) if own_gated else None
     u0 = jnp.clip(jnp.floor(uf), 0, w - 2)
     v0 = jnp.clip(jnp.floor(vf), 0, h - 2)
     fuc, fvc = fu[..., None], fv[..., None]
@@ -294,14 +326,21 @@ def sample_compact(bank, uf, vf, cam: CameraModel, use_icp: bool,
             zr = jnp.where(z <= max_depth_rgb, z, 0.0)
             dl_ok = dl_ok & (zr > 0)
             dl = dl + wg[..., 0] * zr
+    if own_gated:
+        d_ok = d_ok & own_ok
+        dl_ok = dl_ok & own_ok
     d_cp = jnp.where(d_ok[..., None], d_cp, 0.0)
     n_cp = n_ok = il = il_ok = None
     if use_icp:
         n_cp, n_ok = _interp_valid(taps, fu, fv, inb, slice(2, 5))
+        if own_gated:
+            n_ok = n_ok & own_ok
     if use_rgb:
         off = 2 + (3 if use_icp else 0)
         im, ik = _interp_valid(taps, fu, fv, inb, slice(off, off + 1))
         il, il_ok = im[..., 0], ik
+        if own_gated:
+            il_ok = il_ok & own_ok
     if not use_icp:
         d_cp = d_ok = None
     return PredSample(

@@ -77,28 +77,50 @@ def _project_pixels(data_local: jnp.ndarray, cam: CameraModel, scale: int):
     return u, v, inb
 
 
-# Packed depth-test key: 11 bits of log-quantized depth + 20 bits of surfel id
-# in one int32. GL's f32 depth test (index_map.vert) needs TWO scatter passes
+# Packed depth-test key: log-quantized depth bits + surfel id bits in one
+# int32. GL's f32 depth test (index_map.vert) needs TWO scatter passes
 # plus a winner gather on TPU (min depth, then min id among exact-depth ties);
-# one packed scatter-min is ~3x cheaper and still deterministic. Quantization:
-# 2048 log2 levels over [1/16 m, 16 m] = 256 levels/octave = 0.27% relative
-# depth resolution (2.7 mm at 1 m) — ties within one step resolve to the
-# lowest id. All downstream consumers (association gates at >= 1 cm, the
-# ray-disk splat resolve which re-derives exact depth from the winning
-# candidates) are insensitive at this scale.
+# one packed scatter-min is ~3x cheaper and still deterministic. Quantization
+# at the default 20 id bits: 2048 log2 levels over [1/16 m, 16 m] = 256
+# levels/octave = 0.27% relative depth resolution (2.7 mm at 1 m) — ties
+# within one step resolve to the lowest id. All downstream consumers
+# (association gates at >= 1 cm, the ray-disk splat resolve which re-derives
+# exact depth from the winning candidates) are insensitive at this scale.
+# Flat multi-model buckets above 2^20 surfels get 21 id bits / 1024 levels
+# (0.54%) — still far below every gate.
 _ID_BITS = 20
-_ZQ_LEVELS = 2048
 _KEY_INVALID = jnp.int32(2**31 - 1)
 
 
-def _pack_depth_id(z, ids, valid):
-    # top bin reserved (clip to _ZQ_LEVELS - 2): geometry beyond 16 m would
+def _id_bits_for(n: int) -> int:
+    bits = _ID_BITS
+    while (1 << bits) < n:
+        bits += 1
+    assert bits <= 24, "surfel bucket exceeds packed id range"
+    return bits
+
+
+def _pack_depth_id(z, ids, valid, id_bits: int = _ID_BITS):
+    # top bin reserved (clip to levels - 2): geometry beyond 16 m would
     # otherwise all collapse into one bin where the max (zq, id) pair equals
     # _KEY_INVALID, making that surfel unable to win any pixel (viewer paths
     # render with max_depth up to 50 m)
-    zq = (jnp.log2(jnp.maximum(z, 1e-6)) + 4.0) * (_ZQ_LEVELS / 8.0)
-    zq = jnp.clip(zq.astype(jnp.int32), 0, _ZQ_LEVELS - 2)
-    return jnp.where(valid, (zq << _ID_BITS) | ids, _KEY_INVALID)
+    levels = 1 << (31 - id_bits)
+    zq = (jnp.log2(jnp.maximum(z, 1e-6)) + 4.0) * (levels / 8.0)
+    zq = jnp.clip(zq.astype(jnp.int32), 0, levels - 2)
+    return jnp.where(valid, (zq << id_bits) | ids, _KEY_INVALID)
+
+
+def _unpack_zmin(kmin, id_bits: int = _ID_BITS):
+    levels = 1 << (31 - id_bits)
+    won = kmin != _KEY_INVALID
+    idx = jnp.where(won, kmin & ((1 << id_bits) - 1), INVALID)
+    zmin = jnp.where(
+        won,
+        jnp.exp2((kmin >> id_bits).astype(jnp.float32) * (8.0 / levels) - 4.0),
+        _BIG,
+    )
+    return idx, zmin
 
 
 def _zmin_scatter(u, v, z, valid, h: int, w: int):
@@ -108,18 +130,12 @@ def _zmin_scatter(u, v, z, valid, h: int, w: int):
     this codebase uses it for sub-centimetre tests.
     """
     n = z.shape[0]
-    assert n <= (1 << _ID_BITS), "surfel bucket exceeds packed id range"
+    id_bits = _id_bits_for(n)
     pix = jnp.where(valid, v * w + u, h * w)  # invalid -> scratch bin
     ids = jnp.arange(n, dtype=jnp.int32)
-    key = _pack_depth_id(z, ids, valid)
+    key = _pack_depth_id(z, ids, valid, id_bits)
     kmin = jnp.full((h * w,), _KEY_INVALID).at[pix].min(key, mode="drop")
-    won = kmin != _KEY_INVALID
-    idx = jnp.where(won, kmin & ((1 << _ID_BITS) - 1), INVALID)
-    zmin = jnp.where(
-        won,
-        jnp.exp2((kmin >> _ID_BITS).astype(jnp.float32) * (8.0 / _ZQ_LEVELS) - 4.0),
-        _BIG,
-    )
+    idx, zmin = _unpack_zmin(kmin, id_bits)
     return idx.reshape(h, w), zmin.reshape(h, w)
 
 
@@ -147,6 +163,115 @@ def predict_indices(
     u, v, inb = _project_pixels(data_local, cam, scale)
     idx, _ = _zmin_scatter(u, v, z, ok & inb, cam.height * scale, cam.width * scale)
     return IndexMap(index=idx, data_local=data_local)
+
+
+def take_small(table: jnp.ndarray, idx: jnp.ndarray, n: int) -> jnp.ndarray:
+    """table[idx] for a SMALL static table (n entries) via one-hot selects.
+
+    A real gather with image/surfel-count indices costs milliseconds on TPU;
+    n fused compare-selects on the VPU are effectively free for n <= ~16.
+    Out-of-range idx -> 0.
+    """
+    acc = jnp.zeros(idx.shape, table.dtype)
+    for m in range(n):
+        acc = acc + jnp.where(idx == m, table[m], jnp.zeros((), table.dtype))
+    return acc
+
+
+def predict_indices_flat(
+    data_local: jnp.ndarray,  # [CHANNELS, total] camera-frame surfels, ALL models
+    alive: jnp.ndarray,  # [total] bool
+    seg_model: jnp.ndarray,  # [total] int32 model id of each surfel slot
+    own: jnp.ndarray,  # [H, W] int32 pixel owner (mask; ids >= n_models = none)
+    max_depth_all: jnp.ndarray,  # [n_models] per-model max depth
+    n_models: int,
+    cam: CameraModel,
+    time,
+    time_delta,
+) -> IndexMap:
+    """Owner-partitioned composite index map over ALL models' surfels.
+
+    The reference renders ONE index map per model over the full image
+    (ModelProjection::predictIndices per model). Fusion/clean/prediction only
+    consume each map at the pixels the model OWNS (its mask), so this renders
+    every pixel from its owner's surfels only, in ONE scatter over the
+    concatenated (flat) surfel storage: index values are FLAT ids. A surfel
+    is eligible for pixel p iff own[p] == its model — the z-test never runs
+    across models (disjoint pixels), so per-model winners are preserved
+    exactly; the only deviation is at pixels a model covers but does not own,
+    which no consumer reads for that model.
+    """
+    h, w = cam.height, cam.width
+    z = data_local[sm.PZ]
+    maxd = take_small(max_depth_all, seg_model, n_models)
+    ok = (
+        alive
+        & (z > 0)
+        & (z <= maxd)
+        & (time - data_local[sm.LAST_T] <= time_delta)
+    )
+    u, v, inb = _project_pixels(data_local, cam, 1)
+    pix = jnp.clip(v * w + u, 0, h * w - 1)
+    own_at = own.reshape(-1)[pix]  # [total] gather (1 channel)
+    ok = ok & inb & (own_at == seg_model)
+    idx, _ = _zmin_scatter(u, v, z, ok, h, w)
+    return IndexMap(index=idx, data_local=data_local)
+
+
+def render_model_depths(
+    data_local: jnp.ndarray,  # [CHANNELS, total] camera-frame surfels
+    alive: jnp.ndarray,  # [total]
+    seg_model: jnp.ndarray,  # [total] int32
+    conf_all: jnp.ndarray,  # [n_models] per-model confidence gate
+    max_depth_all: jnp.ndarray,  # [n_models]
+    n_models: int,
+    cam_c: CameraModel,  # CRF-scale camera (e.g. 160x120)
+    time,
+    time_delta,
+) -> jnp.ndarray:
+    """[n_models, Hc, Wc] per-model predicted depth at CRF scale.
+
+    Feeds the segmentation's reprojection probability (Segmentation.cpp:
+    819-862) — "does model m's geometry explain pixel p", for EVERY model at
+    EVERY pixel, which the owner-partitioned composite cannot answer. One
+    scatter-min into an [M * Hc * Wc] buffer (destination offset by the
+    surfel's model) replaces M full-resolution splat passes; 12+ zq bits at
+    CRF scale keep ~0.2% depth resolution, far below sigma_depth (3 cm).
+
+    Confidence-gating piggybacks on the key's top bit: conf-gated surfels
+    always beat ungated ones, among equals the nearest wins — the gated-first
+    -with-ungated-fallback semantics of the previous per-model splats (young
+    maps still render; one-shot junk cannot shadow mature surfels).
+    """
+    hc, wc = cam_c.height, cam_c.width
+    z = data_local[sm.PZ]
+    maxd = take_small(max_depth_all, seg_model, n_models)
+    conf_t = take_small(conf_all, seg_model, n_models)
+    ok = (
+        alive
+        & (z > 0)
+        & (z <= maxd)
+        & (time - data_local[sm.LAST_T] <= time_delta)
+        & (seg_model < n_models)
+    )
+    u, v, inb = _project_pixels(data_local, cam_c, 1)
+    ok = ok & inb
+    miss = (data_local[sm.CONF] < conf_t).astype(jnp.int32)
+    levels = 1 << 20
+    zq = (jnp.log2(jnp.maximum(z, 1e-6)) + 4.0) * (levels / 8.0)
+    zq = jnp.clip(zq.astype(jnp.int32), 0, levels - 2)
+    key = jnp.where(ok, (miss << 21) | zq, _KEY_INVALID)
+    npix = hc * wc
+    pix = jnp.where(ok, seg_model * npix + v * wc + u, n_models * npix)
+    kmin = jnp.full((n_models * npix,), _KEY_INVALID).at[pix].min(
+        key, mode="drop"
+    )
+    won = kmin != _KEY_INVALID
+    zw = jnp.exp2(
+        (kmin & (levels - 1)).astype(jnp.float32) * (8.0 / levels) - 4.0
+    )
+    depth = jnp.where(won, zw, 0.0).reshape(n_models, hc, wc)
+    return depth
 
 
 class PredictedMaps(NamedTuple):
@@ -210,6 +335,8 @@ def splat_resolve(
     pre_gated: bool = False,
     attrs: jnp.ndarray | None = None,
     with_ungated_depth: bool = False,
+    conf_img: jnp.ndarray | None = None,  # [H, W] per-pixel conf gate
+    own_img: jnp.ndarray | None = None,  # [H, W] int32 owner (composite mode)
 ):
     """combo_splat.frag ray-disk resolve over an existing index map.
 
@@ -250,6 +377,22 @@ def splat_resolve(
     if attrs is None:
         attrs = gather_attr_images(data_local, centre_idx)  # [CHANNELS, H, W]
 
+    # composite (multi-model) mode: the per-pixel confidence gate and owner
+    # ride as EXTRA attr channels so the tap loop's roll carries the
+    # CANDIDATE's gate/owner alongside its attributes
+    n_ch = attrs.shape[0]
+    extra = []
+    conf_ch = own_ch = None
+    if conf_img is not None:
+        conf_ch = n_ch + len(extra)
+        extra.append(conf_img[None])
+    if own_img is not None:
+        own_ch = n_ch + len(extra)
+        extra.append(own_img.astype(jnp.float32)[None])
+        own_f = own_img.astype(jnp.float32)
+    if extra:
+        attrs = jnp.concatenate([attrs] + extra, axis=0)
+
     # the resolve CARRIES the winning candidate's attributes through the tap
     # loop (a handful of per-tap selects on the VPU) instead of re-gathering
     # them by best_idx afterwards — the [H*W, C] winner gather costs ~1.4 ms
@@ -275,11 +418,15 @@ def splat_resolve(
             elif dx < 0:
                 cand = cand.at[:, : -dx].set(INVALID)
             cvalid = cand >= 0
+            if own_ch is not None:
+                # composite: a pixel's prediction may only come from its OWNER
+                cvalid = cvalid & (cdat[own_ch] == own_f)
             ungated = cvalid
             if not pre_gated:
+                gate = cdat[conf_ch] if conf_ch is not None else conf_threshold
                 cvalid = (
                     cvalid
-                    & (cdat[sm.CONF] >= conf_threshold)
+                    & (cdat[sm.CONF] >= gate)
                     & (time - cdat[sm.LAST_T] <= time_delta)
                     & (cdat[sm.LAST_T] <= max_time)
                 )

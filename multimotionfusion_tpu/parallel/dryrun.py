@@ -88,16 +88,11 @@ def build_state(cfg: EngineConfig):
         counts.append(omap.count)
 
     obj = state.objects
-    filled = state.filled
-    bc = lambda x: jnp.broadcast_to(x[None], (n_slots,) + x.shape)  # noqa: E731
     obj = obj._replace(
         data=jnp.stack(datas),
         count=jnp.stack(counts),
         active=jnp.ones((n_slots,), bool),
         spawn_tick=jnp.ones((n_slots,), jnp.int32),
-        pred_vertex_conf=bc(filled.vertex_conf),
-        pred_normal_rad=bc(filled.normal_rad),
-        pred_color=bc(filled.color),
     )
     state = state._replace(objects=obj, prev_mask=jnp.asarray(mask_np))
 

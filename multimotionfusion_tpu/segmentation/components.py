@@ -53,6 +53,41 @@ def keep_largest_component(mask: jnp.ndarray, iters: int = 64) -> jnp.ndarray:
     return lab == best
 
 
+def keep_largest_components_batched(
+    masks: jnp.ndarray, iters: int = 64
+) -> jnp.ndarray:
+    """keep_largest_component for a [L, H, W] stack in ONE batched sweep scan.
+
+    The flow-CRF needs the largest blob of EVERY label; running the L label
+    loops through one scan makes each sweep a [L, H, W] stencil instead of L
+    sequential [H, W] ones (TPU: same bytes, 1/L the op count).
+    """
+    l, h, w = masks.shape
+    idx = jnp.arange(h * w, dtype=jnp.int32).reshape(1, h, w)
+    big = jnp.int32(h * w)
+    lab = jnp.where(masks, idx, big)
+
+    def sweep(lab, _):
+        m = lab
+        m = jnp.minimum(m, jnp.roll(lab, 1, 1).at[:, 0, :].set(big))
+        m = jnp.minimum(m, jnp.roll(lab, -1, 1).at[:, -1, :].set(big))
+        m = jnp.minimum(m, jnp.roll(lab, 1, 2).at[:, :, 0].set(big))
+        m = jnp.minimum(m, jnp.roll(lab, -1, 2).at[:, :, -1].set(big))
+        return jnp.where(masks, m, big), None
+
+    lab, _ = jax.lax.scan(sweep, lab, None, length=iters)
+    flat = jnp.where(masks, lab, big).reshape(l, h * w)
+    # per-label component sizes: offset each label's ids into its own bin row
+    offs = (jnp.arange(l, dtype=jnp.int32) * (h * w + 1))[:, None]
+    binned = jnp.where(masks.reshape(l, -1), flat + offs, l * (h * w + 1))
+    sizes = jnp.zeros((l * (h * w + 1) + 1,), jnp.int32).at[
+        binned.reshape(-1)
+    ].add(1, mode="drop")
+    sizes_l = sizes[: l * (h * w + 1)].reshape(l, h * w + 1)
+    best = jnp.argmax(sizes_l[:, :-1], axis=1)  # [L] biggest component id
+    return masks & (flat == best[:, None]).reshape(l, h, w)
+
+
 def component_sizes_at_pixels(mask: jnp.ndarray, iters: int = 64) -> jnp.ndarray:
     """[H, W] size of the component each True pixel belongs to (0 outside)."""
     h, w = mask.shape

@@ -164,6 +164,7 @@ def flow_crf_segmentation(
     cam: CameraModel,
     cfg: SegmentationConfig,
     allow_new: bool = True,
+    pred_at_crf_scale: bool = False,
 ) -> SegmentationResult:
     h, w = frame_depth.shape
     hc, wc = int(h * cfg.scale), int(w * cfg.scale)
@@ -175,9 +176,16 @@ def flow_crf_segmentation(
     next_c = imops.resize_bilinear(next_intensity, (hc, wc))
     flow = dense_flow(prev_c, next_c)
 
-    # 2. dense reprojection probability
+    # 2. dense reprojection probability. pred_at_crf_scale: the composite
+    # engine renders per-model depth directly at CRF scale
+    # (rasterize.render_model_depths) — no full-res images to downsample.
     frame_depth_c = imops.resize_bilinear(frame_depth, (hc, wc))
-    pred_depth_c = jax.vmap(lambda d: imops.resize_bilinear(d, (hc, wc)))(pred_depth)
+    if pred_at_crf_scale:
+        pred_depth_c = pred_depth
+    else:
+        pred_depth_c = jax.vmap(
+            lambda d: imops.resize_bilinear(d, (hc, wc))
+        )(pred_depth)
     p_proj_m, p_proj_out = reprojection_probability(
         frame_depth_c, pred_depth_c, model_active, cfg.sigma_depth
     )
@@ -193,10 +201,9 @@ def flow_crf_segmentation(
     esum = jnp.sum(e, axis=0)
     probs = jnp.where(esum[None] > 0, e / jnp.maximum(esum[None], 1e-12), 1.0 / n_labels)
     unary = -jnp.log(jnp.maximum(probs, 1e-12))  # [L, Hc, Wc]
-    unary_hwl = jnp.moveaxis(unary, 0, -1)
 
     q = crf.mean_field(
-        unary_hwl,
+        unary,
         kernels=[
             ("gaussian", dict(sigma=cfg.pairwise_gaussian_sigma),
              4.0 * cfg.pairwise_gaussian_weight),
@@ -206,18 +213,18 @@ def flow_crf_segmentation(
              cfg.pairwise_flow_weight),
         ],
         iterations=cfg.crf_iterations,
-    )  # [Hc, Wc, L]
+    )  # [L, Hc, Wc] — channel-first throughout (lane-utilisation; see crf.py)
 
     # 5. fuse with flow-magnitude ramp + reprojection probability
     magn = jnp.linalg.norm(flow, axis=-1)
     ramp = jnp.clip((magn - cfg.flow_ramp_lo) / (cfg.flow_ramp_hi - cfg.flow_ramp_lo),
                     0.0, 1.0)
-    p_flow = q * ramp[..., None]
-    p_proj_hwl = jnp.moveaxis(jnp.where(p_proj < 0.3, 0.0, p_proj), 0, -1)
-    prob = 1.0 - (1.0 - p_flow) * (1.0 - p_proj_hwl)
+    p_flow = q * ramp[None]
+    p_proj_g = jnp.where(p_proj < 0.3, 0.0, p_proj)
+    prob = 1.0 - (1.0 - p_flow) * (1.0 - p_proj_g)
     # inactive model slots can never win
     label_ok = jnp.concatenate([model_active, jnp.array([allow_new])])
-    prob = jnp.where(label_ok[None, None, :], prob, -1.0)
+    prob = jnp.where(label_ok[:, None, None], prob, -1.0)
     # near-ties between MODEL rows break to the LOWER model id: the
     # reference's row normalisation makes two models that explain a pixel
     # equally well tie EXACTLY and its MAP takes the first row (global before
@@ -231,22 +238,24 @@ def flow_crf_segmentation(
     bias = 0.02 * jnp.concatenate(
         [jnp.arange(m, dtype=jnp.float32), jnp.zeros((1,), jnp.float32)]
     )
-    lbl = jnp.argmax(prob - bias, axis=-1)  # [Hc, Wc]
+    lbl = jnp.argmax(prob - bias[:, None, None], axis=0)  # [Hc, Wc]
 
-    # 6. largest component per label, counts, new-label gate
+    # 6. largest component per label, counts, new-label gate — all labels in
+    # ONE batched sweep scan (components.keep_largest_components_batched)
+    label_stack = jnp.stack([lbl == l for l in range(n_labels)])
+    largest_all = components.keep_largest_components_batched(label_stack)
+    counts = jnp.sum(
+        largest_all.reshape(n_labels, -1).astype(jnp.int32), axis=1
+    )
     segm = jnp.full((hc, wc), -1, jnp.int32)
-    counts = []
     for l in range(n_labels):
-        largest = components.keep_largest_component(lbl == l)
-        segm = jnp.where(largest, l, segm)
-        counts.append(jnp.sum(largest.astype(jnp.int32)))
-    counts = jnp.stack(counts)
+        segm = jnp.where(largest_all[l], l, segm)
 
     # border rejection (Segmentation.cpp:583-590, borderSize=20 full-res px):
     # a candidate segment whose bounding box lies entirely inside one border
     # band is an image-edge artefact (flow and splat coverage are both
     # unreliable there), not an entering object
-    new_comp = components.keep_largest_component(lbl == m)
+    new_comp = largest_all[m]
     yy = jnp.arange(hc, dtype=jnp.int32)[:, None]
     xx = jnp.arange(wc, dtype=jnp.int32)[None, :]
     top = jnp.min(jnp.where(new_comp, yy, hc))

@@ -32,7 +32,9 @@ import pytest  # noqa: E402
 # roughly 50-100 uses in one process (observed deterministically in BOTH
 # put_executable_and_time and get_executable_and_time across four full-suite
 # runs; every affected test passes standalone, and neither RSS nor disk is
-# exhausted). Mitigation: (a) order the compile-HEAVY modules first so their
+# exhausted). Standalone repro: tools/repro_xla_cache_crash.py — this cap and
+# pytest.ini's process splitting are the two workarounds it documents.
+# Mitigation: (a) order the compile-HEAVY modules first so their
 # multi-minute multi_frame_step programs get the cache while it is safe, and
 # (b) hard-cap the number of serialiser invocations per process — once the
 # budget is spent, reads report a miss and writes are dropped, so the cheap

@@ -118,3 +118,51 @@ def test_live_drives_engine_end_to_end():
         assert stats["surfels"] > 100
     finally:
         reader.close()
+
+
+def test_live_gt_pose_channel_end_to_end():
+    """v2 pose channel: ground truth rides WITH the frames (the live analogue
+    of the reference's tf lookup, RosNodeReader.cpp:142-165) and drives
+    '-init tf' — the engine's trajectory must follow the streamed GT."""
+    from scipy.spatial.transform import Rotation
+
+    frames = _frames(5)
+    # attach absolute GT poses with a constant world offset: the consumer
+    # must re-base to the FIRST received pose (relative-to-first convention)
+    base = np.eye(4)
+    base[:3, :3] = Rotation.from_rotvec([0.0, 0.3, 0.0]).as_matrix()
+    base[:3, 3] = [1.0, 2.0, 3.0]
+    gts = []
+    for i, f in enumerate(frames):
+        T = np.eye(4)
+        T[:3, 3] = [0.003 * i, 0.0, 0.0]
+        f.gt_pose = base @ T
+        gts.append(T)
+
+    reader = live.LiveSocketReader(port=0, buffer_frames=16, timeout=10.0)
+    try:
+        t = _publish_async(frames, CAM, reader.port)
+        t.join(10.0)
+        cam = reader.intrinsics()
+        cfg = EngineConfig(
+            camera=cam, enable_multi_model=False, odom_init="tf",
+            icp_refine=False,
+            surfels=SurfelConfig(max_surfels=16384, depth_cutoff=5.0),
+        )
+        from multimotionfusion_tpu.engine import MultiMotionFusionTPU
+
+        engine = MultiMotionFusionTPU(cfg)
+        while True:
+            f = reader.next_frame(latest=False)
+            if f is None:
+                break
+            gt = reader.get_incremental_transformation(f.timestamp)
+            assert gt is not None  # the pose channel delivered
+            engine.process_frame(f, gt_pose=gt)
+        engine.finish()
+        # with -init tf and no refinement the trajectory IS the GT,
+        # re-based to identity at the first frame
+        est = np.asarray(engine.state.pose)
+        np.testing.assert_allclose(est, gts[-1], atol=1e-4)
+    finally:
+        reader.close()

@@ -29,7 +29,8 @@ def test_batched_step_matches_sequential():
     rgbs = jnp.stack([jnp.asarray(rgb2)] * k)
     depths = jnp.stack([jnp.asarray(depth2)] * k)
 
-    st_b, stats_b, poses_b, obj_poses_b, obj_active_b, spawns_b, _, _ = (
+    (st_b, stats_b, poses_b, obj_poses_b, obj_active_b, spawns_b, _, _,
+     masks_b) = (
         em.multi_frame_steps_batch(
             state, rgbs, depths, None, 2, 1.0, eng.sp_params, cam, cfg, bucket
         )

@@ -55,12 +55,12 @@ def test_mean_field_denoises():
     flip = rng.choice(h * w, size=h * w // 10, replace=False)
     noisy[flip] = 1 - noisy[flip]
     noisy = noisy.reshape(h, w)
-    unary = np.stack([noisy == 0, noisy == 1], axis=-1).astype(np.float32)
+    unary = np.stack([noisy == 0, noisy == 1], axis=0).astype(np.float32)
     unary = -np.log(np.clip(unary * 0.8 + 0.1, 1e-6, 1.0))
     q = crf.mean_field(
         jnp.asarray(unary), [("gaussian", dict(sigma=2.0), 3.0)], iterations=5
     )
-    out = np.asarray(jnp.argmax(q, -1))
+    out = np.asarray(jnp.argmax(q, 0))
     err_before = (noisy != gt).mean()
     err_after = (out != gt).mean()
     assert err_after < 0.3 * err_before
