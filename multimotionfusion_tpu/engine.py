@@ -913,6 +913,7 @@ class MultiMotionFusionTPU:
                 self.mstate = em.MultiState(
                     smap=self.state.smap, pose=self.state.pose,
                     prev_pose=self.state.prev_pose, filled=self.state.filled,
+                    pred_own=jnp.zeros((cam.height, cam.width), jnp.int32),
                     last_intensity_coarse=self.state.last_intensity_coarse,
                     tracks=self.state.tracks, rng=self.state.rng,
                     objects=objects,

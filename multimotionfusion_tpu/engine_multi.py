@@ -113,7 +113,11 @@ class MultiState(NamedTuple):
     smap: sm.SurfelMap  # global model (id 0)
     pose: jnp.ndarray
     prev_pose: jnp.ndarray
-    filled: FilledMaps  # owner-composite prediction (+ global fill-in)
+    filled: FilledMaps  # cross-model composite prediction (+ global fill-in)
+    # model id of each prediction pixel's winning surfel (n_models = none);
+    # the tracking bank gates taps by it so each model's rows only ever
+    # sample ITS OWN predicted surface (== the reference's per-model renders)
+    pred_own: jnp.ndarray  # [H, W] int32
     last_intensity_coarse: jnp.ndarray
     tracks: tracker.TrackTable
     rng: jnp.ndarray
@@ -415,7 +419,7 @@ def multi_frame_step(
     modo = modo_mod.multi_incremental_transformation(
         T_prev_all, levels, state.last_intensity_coarse, odo_cfg, cam,
         n_models, T_init=T_init_all, seed_valid=seed_valid_all,
-        active=active_all,
+        active=active_all, pred_own=state.pred_own,
     )
     new_pose0 = modo.poses[0]
     obj_poses_new = modo.poses[1:]
@@ -749,7 +753,7 @@ def multi_frame_step(
     poses_all2 = jnp.concatenate([new_pose0[None], obj_pose], axis=0)
 
     im = rasterize.predict_indices_flat(
-        flat_local2, alive_flat2, seg_model, mask, maxd_all2, n_models, cam,
+        flat_local2, alive_flat2, seg_model, maxd_all2, n_models, cam,
         time, scfg.time_delta,
     )
     attrs = rasterize.gather_attr_images(im.data_local, im.index)
@@ -757,6 +761,9 @@ def multi_frame_step(
     seg_bases = tuple(
         [0, Bg] + [Bg + (k + 1) * Bo for k in range(n_slots)]
     )
+    # per-pixel model of the winning surfel: consumers gate candidates by it
+    # (fuse: must match the pixel's mask owner; clean/resolve: within-model)
+    win_model = rasterize.win_model_image(im.index, seg_bases, n_models)
     storage_flat = jnp.concatenate(
         [sub.data, jnp.moveaxis(obj_db2, 0, 1).reshape(sm.CHANNELS, -1)],
         axis=1,
@@ -764,7 +771,7 @@ def multi_frame_step(
     counts_all = jnp.concatenate([sub.count[None], obj_count])
     fused_flat, counts_new = fusion.fuse_flat(
         storage_flat, counts_all, seg_bases, fs_w, im, mask, poses_all2,
-        maxd_all2, active_all2, cam, time, scfg, attrs,
+        maxd_all2, active_all2, cam, time, scfg, attrs, win_model,
     )
     pos_in_seg = jnp.concatenate(
         [
@@ -775,8 +782,8 @@ def multi_frame_step(
     count_per_surfel = rasterize.take_small(counts_new, seg_model, n_models)
     alive_pf = (pos_in_seg < count_per_surfel) & (fused_flat[sm.ALIVE] > 0)
     cleaned_flat = fusion.clean_flat(
-        fused_flat, counts_new, seg_model, alive_pf, im, depth_filt, mask,
-        conf_all2, cam, time, scfg.time_delta, scfg, attrs,
+        fused_flat, counts_new, seg_model, alive_pf, im, depth_filt,
+        conf_all2, cam, time, scfg.time_delta, scfg, attrs, win_model,
     )
     if cfg.reloc_mode:
         # global fusion is skipped while lost (MultiMotionFusion.cpp:791)
@@ -834,10 +841,12 @@ def multi_frame_step(
     obj_count_out = counts_new[1:]
 
     # ---- composite prediction for the NEXT frame's tracking ----------------
-    conf_px = rasterize.take_small(conf_all2, mask, n_models)
+    # per-candidate confidence gate = the WINNER's model's gate; tap owner
+    # gating keeps the ray-disk resolve within one model's surfels
+    conf_px = rasterize.take_small(conf_all2, win_model, n_models)
     pred = rasterize.splat_resolve(
         im, cam, 0.0, time, time, scfg.time_delta, scfg.splat_footprint,
-        attrs=attrs, conf_img=conf_px, own_img=mask,
+        attrs=attrs, conf_img=conf_px, own_img=win_model,
     )
     conf_img = sm.pixel_confidence(cam, 1.0)
     rad_img = sm.radius_from_depth(vmap_f[..., 2], nmap_f[..., 2], cam)
@@ -873,6 +882,7 @@ def multi_frame_step(
     )
     new_state = MultiState(
         smap=smap, pose=new_pose0, prev_pose=state.pose, filled=filled,
+        pred_own=win_model,
         last_intensity_coarse=coarse, tracks=tracks, rng=rng, objects=objects,
         prev_mask=mask, prev_intensity=intensity,
         last_spawn=jnp.where(claim, jnp.int32(time), state.last_spawn),
@@ -1320,6 +1330,7 @@ def _multi_frame_step_legacy(
     )
     new_state = MultiState(
         smap=smap, pose=new_pose0, prev_pose=state.pose, filled=filled,
+        pred_own=jnp.zeros((h, w), jnp.int32),  # unused by the legacy path
         last_intensity_coarse=coarse, tracks=tracks, rng=rng, objects=objects,
         prev_mask=mask, prev_intensity=intensity,
         last_spawn=jnp.where(claim, jnp.int32(time), state.last_spawn),

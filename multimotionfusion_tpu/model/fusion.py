@@ -425,15 +425,17 @@ def fuse_flat(
     time,
     cfg: SurfelConfig,
     attrs: jnp.ndarray,  # gather_attr_images of the composite index map
+    win_model: jnp.ndarray,  # [H, W] model of each pixel's index-map winner
 ):
     """Composite fusion: ONE association/merge/append pass for ALL models.
 
     Same per-pixel semantics as `fuse` run per model (the mask partitions
     pixels, so each pixel only ever fused into its owner — reference
     data.vert maskID gate), but the image-sized window search, checkerboard
-    extraction and scatter run ONCE instead of (1+S) times. Candidate taps
-    are owner-gated (own(q) == own(p)): the composite index map holds q's
-    owner's surfel at q, which only p's owner may merge with.
+    extraction and scatter run ONCE instead of (1+S) times. The index map is
+    the CROSS-MODEL composite (predict_indices_flat); candidate taps are
+    gated to the pixel's mask owner's model (win_model(q) == mask(p)), so a
+    pixel only ever merges into its owner — the reference's maskID gate.
 
     Returns (data_flat, counts) with per-segment appends.
     """
@@ -478,15 +480,17 @@ def fuse_flat(
 
     # --- owner-gated window search over the composite index map -----------
     own_f = mask.astype(jnp.float32)
-    attrs_ext = jnp.concatenate([attrs, own_f[None]], axis=0)
-    own_ch = attrs.shape[0]
+    wm_f = win_model.astype(jnp.float32)
+    attrs_ext = jnp.concatenate([attrs, wm_f[None]], axis=0)
+    wm_ch = attrs.shape[0]
     best_dist = jnp.full((h, w), jnp.float32(1000.0))
     best_tgt = jnp.full((h, w), INVALID)
     for dy, dx in _window_offsets(cfg.assoc_window):
         cand = _shift_with_invalid(index_map.index, dy, dx, INVALID)
         cvalid = cand >= 0
         cdat = jnp.roll(attrs_ext, (-dy, -dx), axis=(1, 2))
-        cvalid = cvalid & (cdat[own_ch] == own_f)
+        # candidate surfel must BELONG to the pixel's owner (maskID gate)
+        cvalid = cvalid & (cdat[wm_ch] == own_f)
         cpx, cpy, cpz = cdat[sm.PX], cdat[sm.PY], cdat[sm.PZ]
         zdiff = cpz - fz
         lam = jnp.sqrt(xl * xl + yl * yl + 1.0)
@@ -615,19 +619,21 @@ def clean_flat(
     alive: jnp.ndarray,  # [total] bool (post-fuse)
     index_map: IndexMap,
     depth_input: jnp.ndarray,
-    mask: jnp.ndarray,  # [H, W] owner
     conf_all: jnp.ndarray,  # [M] per-model confidence gates
     cam: CameraModel,
     time,
     time_delta,
     cfg: SurfelConfig,
     attrs: jnp.ndarray,
+    win_model: jnp.ndarray,  # [H, W] model of each pixel's index-map winner
 ):
     """Composite clean: ONE image pass + ONE verdict scatter for ALL models.
 
-    Mirrors `clean` per model (copy_unstable.vert tests) with owner-gated
-    window candidates and per-model confidence gates. Compaction is NOT done
-    here — the caller repacks segments periodically (per-segment compact).
+    Mirrors `clean` per model (copy_unstable.vert tests). The per-pixel
+    winner is the front-most surfel ACROSS models; window candidates are
+    gated to the SAME model as the centre's winner (the reference evaluates
+    each model's map against itself), with that model's confidence gate.
+    Compaction is NOT done here — the caller repacks segments periodically.
     Returns data_flat with penalties applied and ALIVE flags cleared.
     """
     from multimotionfusion_tpu.ops.rasterize import take_small
@@ -638,8 +644,8 @@ def clean_flat(
     last_t = data_flat[sm.LAST_T]
 
     idx_img = index_map.index
-    own_f = mask.astype(jnp.float32)
-    conf_px = take_small(conf_all, mask, n_models)
+    own_f = win_model.astype(jnp.float32)
+    conf_px = take_small(conf_all, win_model, n_models)
     attrs_ext = jnp.concatenate(
         [attrs, own_f[None], conf_px[None]], axis=0
     )

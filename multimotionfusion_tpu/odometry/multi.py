@@ -148,8 +148,18 @@ def multi_incremental_transformation(
     T_init: jnp.ndarray | None = None,  # [M, 4, 4] per-model seeds
     seed_valid: jnp.ndarray | None = None,  # [M]
     active: jnp.ndarray | None = None,  # [M] (inactive models hold their pose)
+    pred_own: jnp.ndarray | None = None,  # [H, W] prediction winner-model
 ) -> MultiOdometryResult:
-    """All models' GN solves in one image-sized pass (see module docstring)."""
+    """All models' GN solves in one image-sized pass (see module docstring).
+
+    `pred_own`: which model's surfel produced each PREDICTION pixel (the
+    cross-model composite render's winner). Tap gating uses it — a row of
+    model k may only sample prediction pixels model k rendered, which is the
+    model's FULL projected footprint. Gating by the (one-frame-stale) mask
+    instead erodes exactly the trailing-edge associations that carry a
+    mover's motion (measured: object trajectories integrate to ~zero).
+    Defaults to the row-owner mask when absent (single-model callers).
+    """
     use_icp = (not cfg.rgb_only) and cfg.icp_weight > 0
     use_rgb = cfg.rgb_only or cfg.icp_weight < 100
     assert use_icp, "composite multi-odometry requires the ICP term"
@@ -158,6 +168,11 @@ def multi_incremental_transformation(
     T_prev = T_prev.astype(f32)
     if active is None:
         active = jnp.ones((M,), bool)
+    own_pyr = (
+        imops.build_pyramid_nearest(pred_own.astype(jnp.int32), cfg.num_pyr)
+        if pred_own is not None
+        else None
+    )
 
     # ---- SO(3) pre-alignment: ONCE for the camera (full-frame intensity).
     # The vmapped path ran it per model on the SAME images, producing the
@@ -311,11 +326,12 @@ def multi_incremental_transformation(
         min_scale = (cfg.min_grad_magnitudes[i] ** 2) / (cfg.sobel_scale**2)
 
         own_lvl = level.mask_next
+        bank_own = own_pyr[i] if own_pyr is not None else own_lvl
         compact = i == 0
         if compact:
             joint_bank = rgbd.build_compact_bank(
                 level.vmap_prev[..., 2], level.nmap_prev,
-                level.img_last if use_rgb else None, own_map=own_lvl,
+                level.img_last if use_rgb else None, own_map=bank_own,
             )
             sampler = functools.partial(
                 rgbd.sample_compact, joint_bank, cam=cam_l, use_icp=True,
@@ -326,7 +342,7 @@ def multi_incremental_transformation(
             joint_bank = rgbd.build_generic_bank(
                 level.vmap_prev, level.nmap_prev,
                 level.depth_last if use_rgb else None,
-                level.img_last if use_rgb else None, own_map=own_lvl,
+                level.img_last if use_rgb else None, own_map=bank_own,
             )
             sampler = functools.partial(
                 rgbd.sample_generic, joint_bank, use_icp=True,

@@ -182,24 +182,33 @@ def predict_indices_flat(
     data_local: jnp.ndarray,  # [CHANNELS, total] camera-frame surfels, ALL models
     alive: jnp.ndarray,  # [total] bool
     seg_model: jnp.ndarray,  # [total] int32 model id of each surfel slot
-    own: jnp.ndarray,  # [H, W] int32 pixel owner (mask; ids >= n_models = none)
     max_depth_all: jnp.ndarray,  # [n_models] per-model max depth
     n_models: int,
     cam: CameraModel,
     time,
     time_delta,
+    z_priority: float = 0.02,
 ) -> IndexMap:
-    """Owner-partitioned composite index map over ALL models' surfels.
+    """Cross-model composite index map over ALL models' surfels (flat ids).
 
     The reference renders ONE index map per model over the full image
-    (ModelProjection::predictIndices per model). Fusion/clean/prediction only
-    consume each map at the pixels the model OWNS (its mask), so this renders
-    every pixel from its owner's surfels only, in ONE scatter over the
-    concatenated (flat) surfel storage: index values are FLAT ids. A surfel
-    is eligible for pixel p iff own[p] == its model — the z-test never runs
-    across models (disjoint pixels), so per-model winners are preserved
-    exactly; the only deviation is at pixels a model covers but does not own,
-    which no consumer reads for that model.
+    (ModelProjection::predictIndices per model); downstream consumers gate
+    per pixel by model. Here ONE scatter z-tests ALL models together; each
+    consumer gates candidates by the winner's model (win_model_image), so a
+    model's surfels are visible over its FULL projected footprint — not just
+    its (one-frame-stale) mask — which is what object tracking needs: the
+    mask lags a mover by its per-frame motion, and an owner-restricted
+    prediction erodes exactly the associations that carry the motion signal.
+
+    Depth ties (an object overlapping its not-yet-culled stale copy in the
+    global map) break to the OBJECT: object surfels get a small depth
+    priority (z_priority, default 2 cm) plus an is-global tie bit in the
+    packed key. Without the margin, the stale copy — the SAME surface fused
+    at the object's previous positions — is genuinely nearer on the motion's
+    trailing side (a laterally shifted sphere is closer on one flank), so it
+    erodes the object's rendered footprint asymmetrically and biases its
+    tracking associations FORWARD (measured ~50% tangential overshoot). A
+    real occluder in front by more than the margin still wins.
     """
     h, w = cam.height, cam.width
     z = data_local[sm.PZ]
@@ -211,11 +220,36 @@ def predict_indices_flat(
         & (time - data_local[sm.LAST_T] <= time_delta)
     )
     u, v, inb = _project_pixels(data_local, cam, 1)
-    pix = jnp.clip(v * w + u, 0, h * w - 1)
-    own_at = own.reshape(-1)[pix]  # [total] gather (1 channel)
-    ok = ok & inb & (own_at == seg_model)
-    idx, _ = _zmin_scatter(u, v, z, ok, h, w)
-    return IndexMap(index=idx, data_local=data_local)
+    ok = ok & inb
+    n = z.shape[0]
+    id_bits = _id_bits_for(n)
+    assert id_bits <= 22, "flat bucket exceeds packed id+priority range"
+    levels = 1 << (30 - id_bits)
+    z_eff = jnp.where(seg_model > 0, jnp.maximum(z - z_priority, 1e-3), z)
+    zq = (jnp.log2(jnp.maximum(z_eff, 1e-6)) + 4.0) * (levels / 8.0)
+    zq = jnp.clip(zq.astype(jnp.int32), 0, levels - 2)
+    prio = (seg_model == 0).astype(jnp.int32)  # 1 = global (loses ties)
+    ids = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(ok, (zq << (id_bits + 1)) | (prio << id_bits) | ids,
+                    _KEY_INVALID)
+    pix = jnp.where(ok, v * w + u, h * w)
+    kmin = jnp.full((h * w,), _KEY_INVALID).at[pix].min(key, mode="drop")
+    won = kmin != _KEY_INVALID
+    idx = jnp.where(won, kmin & ((1 << id_bits) - 1), INVALID)
+    return IndexMap(index=idx.reshape(h, w), data_local=data_local)
+
+
+def win_model_image(index: jnp.ndarray, seg_bases, n_models: int) -> jnp.ndarray:
+    """[H, W] model id of each pixel's winning surfel (n_models where none).
+
+    Flat ids are segment-contiguous, so the model falls out of range
+    comparisons — no gather.
+    """
+    out = jnp.full(index.shape, n_models, jnp.int32)
+    for m in range(n_models):
+        hit = (index >= seg_bases[m]) & (index < seg_bases[m + 1])
+        out = jnp.where(hit, m, out)
+    return out
 
 
 def render_model_depths(

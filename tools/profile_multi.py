@@ -171,7 +171,7 @@ def main():
 
     pif = jax.jit(
         lambda fl, al: rasterize.predict_indices_flat(
-            fl, al, seg_model, mask_prev, maxd_all, n_models, cam, t,
+            fl, al, seg_model, maxd_all, n_models, cam, t,
             scfg.time_delta,
         )
     )
