@@ -546,6 +546,10 @@ class MultiMotionFusionTPU:
         self._hwm_tick = 0  # tick at which _hwm was read
         self._growth_rate = 4096  # measured appends/frame (see _buckets)
         self._bucket = 0  # sticky work bucket (see _buckets)
+        self._hwm_obj = 0  # object-slot surfel high-water mark (max slot)
+        self._hwm_obj_tick = 0
+        self._growth_obj = 2048
+        self._bucket_obj = 0  # sticky OBJECT work bucket (see _buckets)
         self._zero_mask = None  # cached device-side all-zeros mask
         self._upload_pool = None  # single-thread uploader (see upload())
         self._last_args = None  # (kind, frame arrays) for bucket prewarming
@@ -643,6 +647,42 @@ class MultiMotionFusionTPU:
             self._bucket = _bucket_for(est + headroom, cap)
         return self._bucket, self._bucket
 
+    def _bucket_objects(self, k_ahead: int = 1) -> int:
+        """Sticky work bucket for the OBJECT slot arrays (multi-model mode).
+
+        Same high-water-mark scheme as _buckets, but over max(objects.count):
+        every composite pass (index scatter, fuse, clean, render) walks
+        n_slots x bucket_obj surfel slots, and real object models run 1-2
+        orders of magnitude smaller than object_capacity — pricing the
+        scatters at capacity wasted ~40% of the multi-model frame's scatter
+        updates. A spawn can jump the count between device syncs; the floor
+        (16k) plus the x4 growth margin absorbs it until the next sync (<=64
+        frames), during which appends beyond the bucket are dropped exactly
+        like the global path's burst note."""
+        cap = self.cfg.object_capacity
+        if self.mstate is None:
+            return self._bucket_obj or _bucket_for(1, cap, floor=1 << 14)
+        headroom = 4096
+        margin = max(4 * self._growth_obj, 1024)
+        est = self._hwm_obj + (self.tick + k_ahead - self._hwm_obj_tick) * margin
+        if self._bucket_obj == 0:
+            self._bucket_obj = _bucket_for(est + headroom, cap, floor=1 << 14)
+        stale = self.tick - self._hwm_obj_tick
+        if est + headroom > self._bucket_obj or stale >= 64:
+            new_hwm = int(jnp.max(self.mstate.objects.count))  # rare sync
+            dt = max(stale, 1)
+            self._growth_obj = max((new_hwm - self._hwm_obj) // dt, 64)
+            self._hwm_obj = new_hwm
+            self._hwm_obj_tick = self.tick
+            margin = max(4 * self._growth_obj, 1024)
+            est = self._hwm_obj + (k_ahead + 1) * margin
+            ideal = _bucket_for(est + headroom, cap, floor=1 << 14)
+            if ideal * 2 <= self._bucket_obj:
+                self._bucket_obj = ideal  # whole-rung shrink, 2x hysteresis
+        if est + headroom > self._bucket_obj:
+            self._bucket_obj = _bucket_for(est + headroom, cap, floor=1 << 14)
+        return min(self._bucket_obj, cap)
+
     def _maybe_prewarm(self):
         """Compile the NEXT bucket rung in a background thread before the map
         grows into it, so rung crossings never stall the frame stream.
@@ -676,6 +716,7 @@ class MultiMotionFusionTPU:
         kind, args = self._last_args
         state, mstate = self.state, self.mstate
         tick, sp, cam, cfg = self.tick, self.sp_params, self.cam, self.cfg
+        bobj = self._bucket_obj or None  # prewarm at the CURRENT object rung
 
         def _go():
             try:
@@ -685,7 +726,7 @@ class MultiMotionFusionTPU:
                     rgb_u8, depth_raw, uv, mask = args
                     em.multi_frame_step(
                         mstate, rgb_u8, depth_raw, uv, tick, 1.0, sp, cam,
-                        cfg, nxt, ext_mask=mask,
+                        cfg, nxt, ext_mask=mask, bucket_obj=bobj,
                     )
                 elif kind == "multi_batch":
                     from multimotionfusion_tpu import engine_multi as em
@@ -693,7 +734,7 @@ class MultiMotionFusionTPU:
                     rgbs, depths, uvs = args
                     em.multi_frame_steps_batch(
                         mstate, rgbs, depths, uvs, tick, 1.0, sp, cam, cfg,
-                        nxt,
+                        nxt, bucket_obj=bobj,
                     )
                 elif kind == "batch":
                     rgbs, depths, uvs = args
@@ -799,6 +840,7 @@ class MultiMotionFusionTPU:
                 self.mstate, rgbs, depths, uvs, self.tick,
                 weight_multiplier, self.sp_params, self.cam, self.cfg,
                 bucket_fuse,
+                bucket_obj=self._bucket_objects(k_ahead=len(frames)),
             )
             self._last_args = ("multi_batch", (rgbs, depths, uvs))
             self.last_mask = self.mstate.prev_mask
@@ -935,10 +977,11 @@ class MultiMotionFusionTPU:
             from multimotionfusion_tpu import engine_multi as em
 
             bucket_fuse, _ = self._buckets()
+            bucket_obj = self._bucket_objects()
             self.mstate, stats, seg_mask, aux = em.multi_frame_step(
                 self.mstate, rgb_u8, depth_raw, uv, self.tick,
                 weight_multiplier, self.sp_params, cam, self.cfg, bucket_fuse,
-                ext_mask=mask,
+                ext_mask=mask, bucket_obj=bucket_obj,
             )
             self._last_args = ("multi", (rgb_u8, depth_raw, uv, mask))
             self.last_mask = seg_mask  # device array; fetched only on export

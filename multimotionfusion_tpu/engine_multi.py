@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -57,6 +58,11 @@ from multimotionfusion_tpu.ops import rasterize
 from multimotionfusion_tpu.segmentation import flow_crf as seg
 from multimotionfusion_tpu.tracking import tracker
 from multimotionfusion_tpu.utils import se3
+
+# global-segment subsample stride for the CRF-scale per-model depth render
+# (see the render_model_depths call below); 1 disables (env override for
+# perf bisection)
+_RMD_GLOBAL_STRIDE = int(os.environ.get("MMF_RMD_STRIDE", "4"))
 
 
 class ObjectSlots(NamedTuple):
@@ -524,15 +530,32 @@ def multi_frame_step(
         )
     else:
         # per-model depth at CRF scale for the reprojection term: one offset
-        # scatter over ALL surfels instead of M full-res splat passes
-        flat_local = jnp.concatenate(
-            [g_local, jnp.moveaxis(o_local, 0, 1).reshape(sm.CHANNELS, -1)],
+        # scatter over ALL surfels instead of M full-res splat passes. The
+        # GLOBAL segment is stride-subsampled: at 1/4 resolution each CRF
+        # cell covers 16 full-res pixels (>= ~16 fused surfels of a mature
+        # map), so every 4th surfel still gives ~4 depth candidates per cell
+        # while cutting the scatter-min's update count (the scatter was the
+        # single hottest op of the frame at 7.4 ms; updates price it, not
+        # bins). Depth bias from the thinner min is bounded by surface
+        # sampling noise (<1 cm) — far below sigma_depth (3 cm). Object
+        # segments stay dense (young models are small and their footprint
+        # drives spawning/segmentation).
+        gs = _RMD_GLOBAL_STRIDE
+        flat_rmd = jnp.concatenate(
+            [g_local[:, ::gs],
+             jnp.moveaxis(o_local, 0, 1).reshape(sm.CHANNELS, -1)],
             axis=1,
         )
-        alive_flat = jnp.concatenate([galive, oalive.reshape(-1)])
+        alive_rmd = jnp.concatenate([galive[::gs], oalive.reshape(-1)])
+        seg_model_rmd = jnp.concatenate(
+            [
+                jnp.zeros((g_local.shape[1] + gs - 1) // gs, jnp.int32),
+                jnp.arange(n_slots * Bo, dtype=jnp.int32) // Bo + 1,
+            ]
+        )
         cam_c = _crf_camera(cam, cfg.segmentation.scale)
         pred_depth_c = rasterize.render_model_depths(
-            flat_local, alive_flat, seg_model, conf_all, maxd_all, n_models,
+            flat_rmd, alive_rmd, seg_model_rmd, conf_all, maxd_all, n_models,
             cam_c, time, scfg.time_delta,
         )
         seg_res = seg.flow_crf_segmentation(

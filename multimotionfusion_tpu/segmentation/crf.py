@@ -87,28 +87,39 @@ def gaussian_message(q: jnp.ndarray, sigma: float) -> jnp.ndarray:
     return _blur_batch(q, sigma, radius)
 
 
-def bilateral_grid_message(
-    q: jnp.ndarray,  # [L, H, W]
-    features: jnp.ndarray,  # [H, W, F] extra feature channels (e.g. flow)
-    sigma_xy: float,
-    sigma_f: float,
-    grid_bins: int = 8,
-) -> jnp.ndarray:
-    """Bilateral message: Gaussian in (x, y, features) via a bilateral grid.
+def _blur_hw_leading(x: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Gaussian blur over the LEADING two axes of [H, W, C] (channels-last).
 
-    Each pixel splats Q into one of `grid_bins` bins per feature channel
-    (product space flattened), the grid is blurred spatially per slab and
-    across the feature axis, then sliced back. With F feature channels the
-    grid has grid_bins**F slabs; the flow-CRF uses F=2 (flow_x, flow_y).
-
-    Everything is CHANNEL-FIRST ([slabs*L, H, W]) so the image width rides
-    the TPU lane axis — the label-minor layout ran every elementwise op at
-    L/128 lane utilisation and made this THE hottest op of the multi-model
-    frame (measured 12 ms/iteration at 160x120xL7 before the transpose).
+    Three box passes per axis (Wells) via cumsum — the channels ride the TPU
+    lane axis, so every pass is full-width vector work. Used on the pooled
+    bilateral grid whose channel count (slabs x labels = 448) is lane-sized
+    while its spatial extent (30 x 40) is tiny.
     """
-    nl, h, w = q.shape
-    f = features.shape[-1]
-    # normalise features to bin coordinates
+    import math
+
+    r = max(1, int(round((math.sqrt(4.0 * sigma * sigma + 1.0) - 1.0) / 2)))
+    inv = 1.0 / float(2 * r + 1)
+    out = x
+    for axis in (0, 1):
+        for _ in range(3):
+            out = _box_sum(out, r, axis) * inv
+    return out
+
+
+def bilateral_grid_splat_plan(
+    features: jnp.ndarray,  # [H, W, F] extra feature channels (e.g. flow)
+    grid_bins: int = 8,
+    pool: int = 4,
+):
+    """Precompute the iteration-invariant part of bilateral_grid_message.
+
+    The grid assignment (which slab each pixel splats into) depends only on
+    the features, which are FIXED across mean-field iterations — only Q
+    changes. Returns (oh_blocks [hp, wp, S, ds*ds], sigma_scale [F], ds):
+    the per-block one-hot splat matrix that both the splat and the slice
+    contract against on the MXU.
+    """
+    h, w, f = features.shape
     fmin = jnp.min(features.reshape(-1, f), axis=0)
     fmax = jnp.max(features.reshape(-1, f), axis=0)
     scale = (grid_bins - 1) / jnp.maximum(fmax - fmin, 1e-6)
@@ -119,56 +130,103 @@ def bilateral_grid_message(
     for i in range(1, f):
         flat_bin = flat_bin * grid_bins + bins[..., i]
     nslab = grid_bins**f
+    ds = pool if (h % pool == 0 and w % pool == 0 and min(h, w) >= 32) else 1
+    hp, wp = h // ds, w // ds
+    # [hp, wp, S, ds*ds] one-hot: oh[hp, wp, s, a*ds+b] = 1 iff pixel (a, b)
+    # of block (hp, wp) falls in slab s
+    fb_blocks = (
+        flat_bin.reshape(hp, ds, wp, ds).transpose(0, 2, 1, 3).reshape(hp, wp, ds * ds)
+    )
+    oh_blocks = (
+        fb_blocks[:, :, None, :] == jnp.arange(nslab, dtype=jnp.int32)[None, None, :, None]
+    ).astype(jnp.float32)
+    return oh_blocks, scale, ds
 
-    # splat: one-hot over slabs -> [S, L, H, W] (channel-first throughout)
-    onehot = (
-        flat_bin[None] == jnp.arange(nslab, dtype=jnp.int32)[:, None, None]
-    ).astype(q.dtype)  # [S, H, W]
-    grid = (onehot[:, None] * q[None]).reshape(nslab * nl, h, w)
 
-    # spatial blur on a 4x-DOWNSAMPLED grid: the spatial sigma (40 px at CRF
-    # scale) wipes out everything finer than the pooling, so pool -> blur at
-    # sigma/4 -> nearest-upsample is equivalent to within mean-field noise
-    # while touching 1/16 of the 448-channel grid (the full-res blur was THE
-    # hottest op of the multi-model frame at ~14 ms; XLA runs these small
-    # many-op stencil pipelines far from bandwidth anyway)
-    ds = 4 if (h % 4 == 0 and w % 4 == 0 and min(h, w) >= 32) else 1
-    hc2, wc2 = h // ds, w // ds
-    if ds > 1:
-        grid = grid.reshape(nslab * nl, hc2, ds, wc2, ds).mean(axis=(2, 4))
-        occ = onehot.reshape(nslab, hc2, ds, wc2, ds).mean(axis=(2, 4))
-    else:
-        occ = onehot
+def bilateral_grid_message(
+    q: jnp.ndarray,  # [L, H, W]
+    features: jnp.ndarray,  # [H, W, F] extra feature channels (e.g. flow)
+    sigma_xy: float,
+    sigma_f: float,
+    grid_bins: int = 8,
+    plan=None,  # optional precomputed bilateral_grid_splat_plan(features)
+) -> jnp.ndarray:
+    """Bilateral message: Gaussian in (x, y, features) via a bilateral grid.
+
+    Each pixel splats Q into one of `grid_bins` bins per feature channel
+    (product space flattened), the grid is blurred spatially per slab and
+    across the feature axis, then sliced back. With F feature channels the
+    grid has grid_bins**F slabs; the flow-CRF uses F=2 (flow_x, flow_y).
+
+    TPU shape: both the splat and the slice are contractions of Q against a
+    per-4x4-block one-hot matrix — batched [S, 16] x [16, L] matmuls on the
+    MXU at POOLED resolution. The earlier formulation materialised the
+    [slabs*L, H, W] grid at full CRF resolution (22 MB) and pool/unpooled it
+    with 68 MB reshapes; per mean-field iteration that was ~1.8 ms of pure
+    data movement (measured), where the block-matmul form touches ~6 MB.
+    The pooling (spatial sigma 40 px >> pool 4) and the nearest-neighbour
+    slice are unchanged semantics — identical to pool-blur-unpool-select.
+    """
+    nl, h, w = q.shape
+    f = features.shape[-1]
+    nslab = grid_bins**f
+    if plan is None:
+        plan = bilateral_grid_splat_plan(features, grid_bins)
+    oh_blocks, scale, ds = plan
+    hp, wp = h // ds, w // ds
+    npix_blk = ds * ds
+    hi = jax.lax.Precision.HIGHEST
+
+    # splat + pool in one batched matmul: [hp, wp, S, 16] @ [hp, wp, 16, L]
+    q_blocks = (
+        q.reshape(nl, hp, ds, wp, ds)
+        .transpose(1, 3, 2, 4, 0)
+        .reshape(hp, wp, npix_blk, nl)
+    )
+    grid = jnp.einsum("hwsp,hwpl->hwsl", oh_blocks, q_blocks, precision=hi)
+    occ = jnp.sum(oh_blocks, axis=-1)  # [hp, wp, S]
+
+    # spatial blur over the pooled grid, channels-last (S*L rides the lanes)
     sig = sigma_xy / ds
-    radius = max(1, min(int(1.5 * sig), 24))
-    grid = _blur_batch(grid, sig, radius).reshape(nslab, nl, hc2, wc2)
-    occ = _blur_batch(occ, sig, radius)  # [S, hc2, wc2]
+    grid = _blur_hw_leading(grid.reshape(hp, wp, nslab * nl), sig).reshape(
+        hp, wp, nslab, nl
+    )
+    occ = _blur_hw_leading(occ, sig)
 
-    # blur across the feature axis (separable per feature dim; major axes)
+    # blur across the feature axes (separable; slab axis unpacked to bins^F)
     sigma_bins = sigma_f * scale  # [F] in bin units
-    grid = grid.reshape(*([grid_bins] * f), nl, hc2, wc2)
-    occ = occ.reshape(*([grid_bins] * f), hc2, wc2)
+    grid = grid.reshape(hp, wp, *([grid_bins] * f), nl)
+    occ = occ.reshape(hp, wp, *([grid_bins] * f))
     for i in range(f):
+        ax = 2 + i
         sb = jnp.maximum(sigma_bins[i], 1e-3)
         offs = list(range(-2, 3))
         wts = jnp.exp(-0.5 * (jnp.asarray(offs, q.dtype) / sb) ** 2)
         wts = wts / jnp.sum(wts)
         grid = sum(
-            wts[k] * jnp.roll(grid, off, axis=i) for k, off in enumerate(offs)
+            wts[k] * jnp.roll(grid, off, axis=ax) for k, off in enumerate(offs)
         )
         occ = sum(
-            wts[k] * jnp.roll(occ, off, axis=i) for k, off in enumerate(offs)
+            wts[k] * jnp.roll(occ, off, axis=ax) for k, off in enumerate(offs)
         )
-    grid = grid.reshape(nslab, nl, hc2, wc2)
-    occ = occ.reshape(nslab, hc2, wc2)
-    if ds > 1:
-        grid = jnp.repeat(jnp.repeat(grid, ds, axis=2), ds, axis=3)
-        occ = jnp.repeat(jnp.repeat(occ, ds, axis=1), ds, axis=2)
+    grid = grid.reshape(hp, wp, nslab, nl)
+    occ = occ.reshape(hp, wp, nslab)
 
-    # slice: read back at each pixel's own bin (one-hot contraction — a
-    # take_along_axis over a lane-minor slab axis would be a relayout)
-    msg = jnp.einsum("shw,slhw->lhw", onehot, grid)
-    norm = jnp.einsum("shw,shw->hw", onehot, occ)
+    # slice at pooled resolution: each pixel reads its own slab of its own
+    # block — the transpose of the splat matmul (nearest upsample + per-pixel
+    # slab select, exactly as the unpool-einsum form)
+    msg_blocks = jnp.einsum("hwsp,hwsl->hwpl", oh_blocks, grid, precision=hi)
+    norm_blocks = jnp.einsum("hwsp,hws->hwp", oh_blocks, occ, precision=hi)
+    msg = (
+        msg_blocks.reshape(hp, wp, ds, ds, nl)
+        .transpose(4, 0, 2, 1, 3)
+        .reshape(nl, h, w)
+    )
+    norm = (
+        norm_blocks.reshape(hp, wp, ds, ds)
+        .transpose(0, 2, 1, 3)
+        .reshape(h, w)
+    )
     return msg / jnp.maximum(norm, 1e-6)[None]
 
 
@@ -179,7 +237,20 @@ def mean_field(
 ) -> jnp.ndarray:
     """Potts-model mean-field (DenseCRF::inference). Returns Q [L, H, W]."""
     q = jax.nn.softmax(-unary, axis=0)
-    for _ in range(iterations):
+    # the bilateral splat assignment depends only on the (fixed) features —
+    # build it once for all iterations
+    kernels = [
+        (
+            kind,
+            {**params, "plan": bilateral_grid_splat_plan(
+                params["features"], params.get("grid_bins", 8)
+            )} if kind == "bilateral" else params,
+            weight,
+        )
+        for kind, params, weight in kernels
+    ]
+
+    def one_iteration(q, _):
         msg = jnp.zeros_like(q)
         for kind, params, weight in kernels:
             if kind == "gaussian":
@@ -191,5 +262,9 @@ def mean_field(
             msg = msg + weight * (m - q)  # exclude self-message
         # Potts compatibility: penalty = sum of other-label messages
         pairwise = jnp.sum(msg, axis=0, keepdims=True) - msg
-        q = jax.nn.softmax(-unary - pairwise, axis=0)
+        return jax.nn.softmax(-unary - pairwise, axis=0), None
+
+    # scan instead of an unrolled Python loop: one traced iteration body
+    # keeps the (already large) multi-model frame program compile-bounded
+    q, _ = jax.lax.scan(one_iteration, q, None, length=iterations)
     return q

@@ -47,7 +47,13 @@ def test_ransac_recovers_under_outliers(rng):
     assert bool(res.ok)
     np.testing.assert_allclose(np.asarray(res.transform), T, atol=0.02)
     assert float(res.error) < 0.01
-    assert int(res.num_inliers) >= 35
+    # the reference reports the CANDIDATE-stage inlier mask (RigidRANSAC.cpp:
+    # 160-175), whose count depends on which minimal set won the mean-error
+    # vote; the robust claim is that the returned transform explains the
+    # clean majority of the correspondences
+    d = np.asarray(ransac.residual_norms(res.transform, p0, p1))
+    assert int((d < cfg.inlier_threshold).sum()) >= 35
+    assert int(res.num_inliers) > max(round(cfg.inlier_fraction * p0.shape[0]), 3)
 
 
 def test_ransac_respects_validity_mask(rng):

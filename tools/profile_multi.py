@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--slots", type=int, default=5)
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--trace", default="")
+    ap.add_argument("--bucket-obj", type=int, default=0,
+                    help="object work bucket (0 = object_capacity)")
     args = ap.parse_args()
 
     from multimotionfusion_tpu import engine_multi as em
@@ -72,11 +74,12 @@ def main():
     scfg = cfg.surfels
     n_slots = args.slots
     n_models = 1 + n_slots
-    Bo = cfg.object_capacity
+    Bo = args.bucket_obj or cfg.object_capacity
 
     def full():
         return em.multi_frame_step(
-            state, rgb2, depth2, None, t, 1.0, eng.sp_params, cam, cfg, bucket
+            state, rgb2, depth2, None, t, 1.0, eng.sp_params, cam, cfg, bucket,
+            bucket_obj=Bo,
         )[0].pose
 
     res = {}
@@ -132,7 +135,7 @@ def main():
         g_local = sm.transform_surfels(sub.data, se3.inverse_T(state.pose))
         o_local = jax.vmap(
             lambda d, p: sm.transform_surfels(d, se3.inverse_T(p))
-        )(obj.data, obj.pose)
+        )(obj.data[:, :, :Bo], obj.pose)
         flat = jnp.concatenate(
             [g_local, jnp.moveaxis(o_local, 0, 1).reshape(sm.CHANNELS, -1)],
             axis=1,
@@ -141,7 +144,7 @@ def main():
         oalive = jax.vmap(
             lambda d, c: (jnp.arange(Bo, dtype=jnp.int32) < c)
             & (d[sm.ALIVE] > 0)
-        )(obj.data, obj.count)
+        )(obj.data[:, :, :Bo], obj.count)
         return flat, jnp.concatenate([galive, oalive.reshape(-1)])
 
     flat_local, alive_flat = build_flat()
