@@ -235,7 +235,9 @@ def main(argv=None) -> int:
         )
     # decode ahead of the engine on a background thread (the reference's
     # ImageLogReader buffering thread); live/synthetic sources don't decode
-    if args.image_dir or args.basedir or args.log.endswith((".bag", ".klg")):
+    if (args.image_dir or args.basedir
+            or args.log.endswith((".bag", ".klg"))
+            or args.log.startswith("video:")):
         from multimotionfusion_tpu.io.readers import PrefetchReader
 
         reader = PrefetchReader(reader)

@@ -313,6 +313,12 @@ def open_log(uri: str, cam: Optional[CameraModel] = None) -> LogReader:
         host, _, port = spec.rpartition(":")
         return LiveSocketReader(port=int(port or spec or 0),
                                 host=host or "127.0.0.1")
+    if uri.startswith("video:"):
+        # video URIs (the PangolinReader slot): "video:<depth_src>;<rgb_src>"
+        from multimotionfusion_tpu.io.video import VideoLogReader
+
+        c = cam or CameraModel()
+        return VideoLogReader(uri, c.width, c.height)
     if uri.endswith(".klg"):
         c = cam or CameraModel()
         return KlgLogReader(uri, c.width, c.height)
