@@ -33,7 +33,7 @@ from multimotionfusion_tpu.io.readers import LogReader
 
 class VideoLogReader(LogReader):
     def __init__(self, uri: str, width: int = 640, height: int = 480,
-                 flip_colors: bool = True):
+                 flip_colors: bool = True, fps: float = 30.0):
         import cv2  # noqa: F401 — hard dependency of this reader only
 
         self._cv2 = cv2
@@ -48,6 +48,14 @@ class VideoLogReader(LogReader):
         self._depth_src, self._rgb_src = parts
         self.width, self.height = width, height
         self.flip_colors = flip_colors
+        self.fps = fps  # timestamp fallback clock when POS_MSEC is absent
+        self._len: Optional[int] = None
+        # fail fast on a typo'd sequence pattern / missing file (the
+        # reference errors on a malformed URI at construction,
+        # PangolinReader.cpp:20-27); live device indices are exempt
+        for src, rgb in ((self._depth_src, False), (self._rgb_src, True)):
+            if not src.isdigit():
+                self._open(src, convert_rgb=rgb).release()
 
     def _open(self, src: str, convert_rgb: bool):
         cv2 = self._cv2
@@ -66,11 +74,14 @@ class VideoLogReader(LogReader):
         return cap
 
     def __len__(self) -> int:  # live devices report 0 like the reference
-        cv2 = self._cv2
-        cap = self._open(self._depth_src, convert_rgb=False)
-        n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
-        cap.release()
-        return max(n, 0)
+        if self._depth_src.isdigit():
+            return 0  # never re-open a camera device just to ask its length
+        if self._len is None:
+            cv2 = self._cv2
+            cap = self._open(self._depth_src, convert_rgb=False)
+            self._len = max(int(cap.get(cv2.CAP_PROP_FRAME_COUNT)), 0)
+            cap.release()
+        return self._len
 
     def intrinsics(self) -> Optional["CameraModel"]:  # noqa: F821
         return None  # video URIs carry no calibration; '-cal' supplies it
@@ -85,6 +96,16 @@ class VideoLogReader(LogReader):
                 okd, depth = dcap.read()
                 okc, rgb = ccap.read()
                 if not (okd and okc):
+                    if okd != okc:  # one stream ran dry before the other
+                        import warnings
+
+                        short = "rgb" if okd else "depth"
+                        warnings.warn(
+                            f"video streams have different lengths: {short} "
+                            f"stream ended at frame {i}; truncating "
+                            "(check the two sources match)",
+                            stacklevel=2,
+                        )
                     return  # either stream ending ends the log
                 if depth.ndim == 3:
                     depth = depth[..., 0]
@@ -104,11 +125,16 @@ class VideoLogReader(LogReader):
                     rgb = cv2.resize(rgb, (self.width, self.height))
                 if self.flip_colors:  # cv2 decodes BGR
                     rgb = rgb[..., ::-1]
+                # CAP_IMAGES always reports POS_MSEC=-1; fall back to a
+                # synthetic fps clock in NANOSECONDS like ImageLogReader /
+                # SyntheticLogReader (raw frame indices would stall -rt
+                # pacing and collapse ns-keyed GT association)
                 ts = dcap.get(cv2.CAP_PROP_POS_MSEC)
                 yield FrameData(
                     rgb=np.ascontiguousarray(rgb),
                     depth=depth.astype(np.float32) * 1e-3,
-                    timestamp=int(ts * 1e6) if ts > 0 else i,
+                    timestamp=int(ts * 1e6) if ts > 0
+                    else int(i / self.fps * 1e9),
                     name=f"video-{i:06d}",
                 )
                 i += 1
