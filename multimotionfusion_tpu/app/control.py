@@ -29,6 +29,10 @@ State publishing (RosStatePublisher parity):
     {"cmd": "subscribe"}                     -> switches this connection into
         a push stream of model lifecycle events (new_model/inactive_model,
         reference Core/Callbacks.h) and periodic status lines
+    {"cmd": "stream_view", "kind": "color", "hz": 5} -> switches this
+        connection into a live PNG frame stream of the running session
+        (color/depth/normal renders or the colourised label mask) — the
+        reference GUI's live viewport (tools/live_viewer.py is the client)
 
 The server runs on a daemon thread. Commands that only swap host-side control
 state (config swaps, pause flag) apply immediately; commands that MUTATE
@@ -108,6 +112,12 @@ class ControlServer:
                     continue
                 try:
                     msg = json.loads(line)
+                    if msg.get("cmd") == "stream_view":
+                        f.write(json.dumps({"ok": True, "streaming": True})
+                                + "\n")
+                        f.flush()
+                        self._stream_view(f, msg)  # blocks until hang-up
+                        return
                     if msg.get("cmd") == "subscribe":
                         # register BEFORE acking: a client may trigger event
                         # drains the moment it reads the ack
@@ -123,6 +133,42 @@ class ControlServer:
                     reply = {"ok": False, "error": str(e)}
                 f.write(json.dumps(reply) + "\n")
                 f.flush()
+
+    def _stream_view(self, f, msg: dict):
+        """Continuous live view over one connection — the TCP counterpart of
+        the reference GUI's running 3D viewport (MainController.cpp:717-977).
+
+        Pushes {"type": "view", "tick": N, "png": ...} JSON lines at up to
+        `hz` (default 5) whenever the engine has advanced; `kind` picks
+        color / depth / normal (rendered from the live global map) or
+        label (latest segmentation, colourised). Rendering happens on THIS
+        connection's thread, so a slow client only throttles itself."""
+        import time as _time
+
+        kind = msg.get("kind", "color")
+        hz = max(0.2, min(float(msg.get("hz", 5.0)), 30.0))
+        last_tick = -1
+        try:
+            while True:
+                e = self.engine
+                tick = e.tick
+                if tick != last_tick and e.state is not None:
+                    last_tick = tick
+                    if kind == "label":
+                        r = self._dispatch(
+                            {"cmd": "get_segmentation", "colorize": True}
+                        )
+                    else:
+                        r = self._dispatch({"cmd": "get_view", "kind": kind})
+                    if r.get("ok"):
+                        f.write(json.dumps(
+                            {"type": "view", "tick": tick, "kind": kind,
+                             "png": r["png"]}
+                        ) + "\n")
+                        f.flush()
+                _time.sleep(1.0 / hz)
+        except (OSError, ValueError):
+            pass  # client hung up
 
     def _publish_event(self, ev: dict):
         for q in list(self._subs):

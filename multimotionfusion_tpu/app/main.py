@@ -57,6 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-rl", dest="reloc", action="store_true", help="enable relocalisation")
     p.add_argument("-cl", dest="close_loops", action="store_true", help="enable global loop closure deformation")
     p.add_argument("-fo", dest="fast_odom", action="store_true", help="fast odometry (single level pyramid)")
+    p.add_argument("-lvl_init", dest="lvl_init", type=int, default=None, help="keypoint tracker pyramid level for pose init (reference -lvl_init)")
+    p.add_argument("-lvl_segm", dest="lvl_segm", type=int, default=None, help="keypoint tracker pyramid level for segmentation (reference -lvl_segm)")
     p.add_argument("-nso", dest="no_so3", action="store_true", help="disable SO(3) pre-alignment")
     p.add_argument("-ftf", dest="frame_to_frame", action="store_true", help="frame-to-frame RGB tracking")
     p.add_argument("-ft", dest="fern_thresh", type=float, default=None, help="fern encoding threshold")
@@ -154,6 +156,8 @@ def make_config(args) -> "EngineConfig":
         icp_weight=args.icp_weight,
         fast_odom=True if args.fast_odom else None,
         so3_prealign=False if args.no_so3 else None,
+        init_lvl=args.lvl_init,
+        segm_lvl=args.lvl_segm,
     )
     cfg = upd(
         "ferns",

@@ -73,6 +73,16 @@ class OdometryConfig:
     divergence_trans_norm: float = 0.3  # m; reject update if ||dt|| larger
     mask_icp: bool = True  # per-model masking of the frame vmap (maskID semantics)
     mask_rgb: bool = True  # MASK_RGB_RESIDUAL semantics
+    # Keypoint tracker pyramid levels (reference Model.h:54,60 OdometryConfig
+    # init_lvl/segm_lvl; '-lvl_init'/'-lvl_segm', MainController.cpp:182-183).
+    # The reference keeps a SEPARATE PointTracker per used level
+    # (MultiMotionFusion.cpp:83-87): keypoint pose init reads
+    # tracker[init_lvl] (:287), segmentation velocities read
+    # tracker[segm_lvl] (:148). Coarser levels give longer-lived tracks
+    # under fast motion (detection on the downsampled image). When equal
+    # (the reference default: both 0) one table serves both consumers.
+    init_lvl: int = 0
+    segm_lvl: int = 0
     # GN early-exit: stop a level once the applied step is below this norm in
     # BOTH translation (m) and rotation (rad). Pure performance — the remaining
     # iterations move the pose by ~20 um / 20 urad — far below the mm-scale

@@ -134,6 +134,23 @@ def _detect_keypoints(intensity, cfg: EngineConfig, sp_params):
     )
 
 
+def _detect_keypoints_level(intensity_pyr, lvl: int, cfg: EngineConfig,
+                            sp_params):
+    """Detect on pyramid level `lvl`, coordinates returned at FULL resolution.
+
+    == the reference's per-level SuperPoint runs (MultiMotionFusion.cpp:
+    223-237: the rgb frame is resized by >> lvl per used tracker level).
+    Storing xy in full-res units (pixel-centre mapping u_full =
+    (u_lvl + 0.5) * 2^lvl - 0.5) keeps every downstream consumer —
+    depth lookup, mask association, velocity projection — level-agnostic:
+    the 3D point is the same, only detection granularity changes."""
+    kps = _detect_keypoints(intensity_pyr[lvl], cfg, sp_params)
+    if kps is not None and lvl > 0:
+        s = jnp.float32(1 << lvl)
+        kps = kps._replace(xy=(kps.xy + 0.5) * s - 0.5)
+    return kps
+
+
 def _yuv_to_rgb(y_u8, uv_u8):
     """Reconstruct RGB from the upload wire format (see upload()).
 
@@ -193,15 +210,27 @@ def _init_step(rgb_u8, depth_raw, pose0, time, sp_params, cam: CameraModel, cfg:
     bucket = cfg.surfels.max_surfels  # only used once; no need to specialise
     _, filled = _predict(smap, pose0, rgb, depth_filt, vmap_f, nmap_f, time, cam, cfg, bucket)
     intensity = imops.rgb_to_intensity(rgb)
-    coarse = imops.build_pyramid(intensity, cfg.odometry.num_pyr)[
-        cfg.odometry.num_pyr - 1
-    ]
+    int_pyr = imops.build_pyramid(intensity, cfg.odometry.num_pyr)
+    coarse = int_pyr[cfg.odometry.num_pyr - 1]
     # seed the keypoint track table (initGlobalTracks, MultiMotionFusion.cpp:296)
     kcfg = cfg.keypoints
     tracks = tracker.empty(kcfg.max_tracks, kcfg.track_history, kcfg.desc_dim)
-    kps = _detect_keypoints(intensity, cfg, sp_params)
+    kps = _detect_keypoints_level(int_pyr, cfg.odometry.init_lvl, cfg, sp_params)
     if kps is not None:
         tracks = tracker.add_keypoints(tracks, kps, depth_filt, time, cam, kcfg)
+    # second tracker at segm_lvl (MultiMotionFusion.cpp:83-87) — seeded here
+    # so frame 2's segmentation already has velocity pairs
+    tracks_segm = None
+    if cfg.enable_multi_model and cfg.odometry.segm_lvl != cfg.odometry.init_lvl:
+        tracks_segm = tracker.empty(
+            kcfg.max_tracks, kcfg.track_history, kcfg.desc_dim
+        )
+        kps_s = _detect_keypoints_level(
+            int_pyr, cfg.odometry.segm_lvl, cfg, sp_params
+        )
+        tracks_segm = tracker.add_keypoints(
+            tracks_segm, kps_s, depth_filt, time, cam, kcfg
+        )
     stats = jnp.zeros((6,), jnp.float32)
     stats = stats.at[STAT_SURFELS].set(smap.alive_count().astype(jnp.float32))
     stats = stats.at[STAT_HWM].set(smap.count.astype(jnp.float32))
@@ -217,7 +246,7 @@ def _init_step(rgb_u8, depth_raw, pose0, time, sp_params, cam: CameraModel, cfg:
         smap, pose0, pose0, filled, coarse, tracks, rng, fdb,
         jnp.zeros((), jnp.int32), jnp.zeros((), bool),
         loop_closure.empty_log(),
-    ), stats
+    ), stats, tracks_segm
 
 
 def _compact_pred(time, scfg):
@@ -253,7 +282,9 @@ def _frame_core(
     pose = state.pose
     tracks = state.tracks
     rng = state.rng
-    kps = _detect_keypoints(frame_pyr.intensity[0], cfg, sp_params)
+    kps = _detect_keypoints_level(
+        frame_pyr.intensity, cfg.odometry.init_lvl, cfg, sp_params
+    )
     if kps is not None:
         kcfg = cfg.keypoints
         tracks = tracker.add_keypoints(tracks, kps, depth_filt, time, cam, kcfg)
@@ -944,7 +975,7 @@ class MultiMotionFusionTPU:
             pose0 = jnp.asarray(
                 gt_pose if gt_pose is not None else np.eye(4), jnp.float32
             )
-            self.state, stats = _init_step(
+            self.state, stats, tracks_segm = _init_step(
                 rgb_u8, depth_raw, pose0, self.tick, self.sp_params, cam,
                 self.cfg, uv,
             )
@@ -952,12 +983,17 @@ class MultiMotionFusionTPU:
                 from multimotionfusion_tpu import engine_multi as em
 
                 objects = em.empty_objects(self.cfg, cam)
+                if tracks_segm is None:  # init_lvl == segm_lvl: stub table
+                    tracks_segm = tracker.empty(
+                        1, 2, self.cfg.keypoints.desc_dim
+                    )
                 self.mstate = em.MultiState(
                     smap=self.state.smap, pose=self.state.pose,
                     prev_pose=self.state.prev_pose, filled=self.state.filled,
                     pred_own=jnp.zeros((cam.height, cam.width), jnp.int32),
                     last_intensity_coarse=self.state.last_intensity_coarse,
-                    tracks=self.state.tracks, rng=self.state.rng,
+                    tracks=self.state.tracks, tracks_segm=tracks_segm,
+                    rng=self.state.rng,
                     objects=objects,
                     prev_mask=jnp.zeros((cam.height, cam.width), jnp.int32),
                     prev_intensity=(
@@ -1166,7 +1202,9 @@ class MultiMotionFusionTPU:
     # v3: ObjectSlots grew conf_t + max_depth; MultiState dropped pred_depth
     # v4: composite multi-model redesign — ObjectSlots dropped the per-slot
     #     [S, H, W] prediction images; MultiState grew pose_matches
-    CKPT_VERSION = 4
+    # v5: MultiState grew tracks_segm (per-level keypoint trackers,
+    #     reference MultiMotionFusion.cpp:83-87)
+    CKPT_VERSION = 5
 
     def save_checkpoint(self, path: str) -> str:
         import pickle

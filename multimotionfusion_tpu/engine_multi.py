@@ -125,7 +125,12 @@ class MultiState(NamedTuple):
     # sample ITS OWN predicted surface (== the reference's per-model renders)
     pred_own: jnp.ndarray  # [H, W] int32
     last_intensity_coarse: jnp.ndarray
-    tracks: tracker.TrackTable
+    tracks: tracker.TrackTable  # the init_lvl tracker (pose seeds, redetect)
+    # the segm_lvl tracker feeding segmentation velocities (reference keeps
+    # one PointTracker per used pyramid level, MultiMotionFusion.cpp:83-87;
+    # Segmentation consumes tracker[segm_lvl] at :148). A 1-slot stub when
+    # init_lvl == segm_lvl (the default — one table serves both consumers).
+    tracks_segm: tracker.TrackTable
     rng: jnp.ndarray
     objects: ObjectSlots
     prev_mask: jnp.ndarray  # [H, W] int32 segmentation of the previous frame
@@ -336,6 +341,19 @@ def _snapshot_tracks(obj, tracks, pose_all_slots):
     )
 
 
+def _associate_tracks(table, mask, time, h, w):
+    """Assign each track seen THIS frame the mask label under its keypoint
+    (track <-> segment association, MultiMotionFusion.cpp:585-604)."""
+    s1 = jnp.mod(time, table.history)
+    txy = table.xy[:, s1]
+    xi = jnp.clip(jnp.rint(txy[:, 0]).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(jnp.rint(txy[:, 1]).astype(jnp.int32), 0, h - 1)
+    seen_now = table.last_seen == time
+    return table._replace(
+        model_id=jnp.where(seen_now, mask[yi, xi], table.model_id)
+    )
+
+
 def _crf_camera(cam: CameraModel, scale: float) -> CameraModel:
     return CameraModel(
         width=int(cam.width * scale), height=int(cam.height * scale),
@@ -370,7 +388,7 @@ def multi_frame_step(
             cam, cfg, bucket_fuse, ext_mask,
         )
     from multimotionfusion_tpu.engine import (
-        _compact_pred, _detect_keypoints, _fern_cam, _ferns_update,
+        _compact_pred, _detect_keypoints_level, _fern_cam, _ferns_update,
         _frame_inputs,
     )
 
@@ -390,10 +408,26 @@ def multi_frame_step(
     # ---- keypoints + tracks ------------------------------------------------
     tracks = state.tracks
     rng = state.rng
-    kps = _detect_keypoints(intensity, cfg, sp_params)
+    kps = _detect_keypoints_level(
+        frame_pyr.intensity, cfg.odometry.init_lvl, cfg, sp_params
+    )
     kcfg = cfg.keypoints
     tracks = tracker.add_keypoints(tracks, kps, depth_filt, time, cam, kcfg)
     tracks = tracker.prune(tracks, time, kcfg)
+    # segm-level tracker (see MultiState.tracks_segm): its coarser detection
+    # grid yields longer-lived tracks under motion; ONLY segmentation
+    # velocities read it (MultiMotionFusion.cpp:148)
+    use_segm_tracker = cfg.odometry.segm_lvl != cfg.odometry.init_lvl
+    if use_segm_tracker:
+        kps_s = _detect_keypoints_level(
+            frame_pyr.intensity, cfg.odometry.segm_lvl, cfg, sp_params
+        )
+        tracks_segm = tracker.add_keypoints(
+            state.tracks_segm, kps_s, depth_filt, time, cam, kcfg
+        )
+        tracks_segm = tracker.prune(tracks_segm, time, kcfg)
+    else:
+        tracks_segm = state.tracks_segm
 
     # ---- pose seeds (global + slots) ---------------------------------------
     obj = state.objects
@@ -498,9 +532,10 @@ def multi_frame_step(
     # ---- segmentation -------------------------------------------------------
     poses_prev = jnp.concatenate([state.pose[None], obj.pose], axis=0)
     poses_new = jnp.concatenate([new_pose0[None], obj_poses_new], axis=0)
-    vel, pair_valid = _track_velocities(tracks, time, poses_prev, poses_new, cam)
-    s1 = jnp.mod(time, tracks.history)
-    txy = tracks.xy[:, s1]
+    tseg = tracks_segm if use_segm_tracker else tracks
+    vel, pair_valid = _track_velocities(tseg, time, poses_prev, poses_new, cam)
+    s1 = jnp.mod(time, tseg.history)
+    txy = tseg.xy[:, s1]
     model_active = jnp.concatenate([jnp.array([True]), obj.active])
     allow_new = cfg.enable_model_spawning and cfg.object_slots > 0
     reactivate = jnp.zeros((n_slots,), bool)
@@ -616,12 +651,9 @@ def multi_frame_step(
     new_maxd = seg_maxd[1 + n_slots]
 
     # ---- track <-> segment association (MultiMotionFusion.cpp:585-604) -----
-    xi = jnp.clip(jnp.rint(txy[:, 0]).astype(jnp.int32), 0, w - 1)
-    yi = jnp.clip(jnp.rint(txy[:, 1]).astype(jnp.int32), 0, h - 1)
-    seen_now = tracks.last_seen == time
-    track_label = mask[yi, xi]
-    new_model_id = jnp.where(seen_now, track_label, tracks.model_id)
-    tracks = tracks._replace(model_id=new_model_id)
+    tracks = _associate_tracks(tracks, mask, time, h, w)
+    if use_segm_tracker:
+        tracks_segm = _associate_tracks(tracks_segm, mask, time, h, w)
 
     # ---- back-date the new object's trajectory (Model::refineTrackSubset,
     # Model.cpp:649-737): per-step rigid fits over the new model's track
@@ -906,7 +938,8 @@ def multi_frame_step(
     new_state = MultiState(
         smap=smap, pose=new_pose0, prev_pose=state.pose, filled=filled,
         pred_own=win_model,
-        last_intensity_coarse=coarse, tracks=tracks, rng=rng, objects=objects,
+        last_intensity_coarse=coarse, tracks=tracks,
+        tracks_segm=tracks_segm, rng=rng, objects=objects,
         prev_mask=mask, prev_intensity=intensity,
         last_spawn=jnp.where(claim, jnp.int32(time), state.last_spawn),
         ferns=ferns_db, bad_track_count=bad_count, lost=lost,
@@ -937,7 +970,7 @@ def _multi_frame_step_legacy(
     produce. Per-slot predictions are re-rendered in-step (the composite
     state no longer carries [S, H, W] prediction images)."""
     from multimotionfusion_tpu.engine import (
-        _compact_pred, _detect_keypoints, _ferns_update, _frame_inputs,
+        _compact_pred, _detect_keypoints_level, _ferns_update, _frame_inputs,
     )
     from multimotionfusion_tpu.segmentation import legacy_crf
 
@@ -953,10 +986,27 @@ def _multi_frame_step_legacy(
 
     tracks = state.tracks
     rng = state.rng
-    kps = _detect_keypoints(intensity, cfg, sp_params)
+    kps = _detect_keypoints_level(
+        frame_pyr.intensity, cfg.odometry.init_lvl, cfg, sp_params
+    )
     kcfg = cfg.keypoints
     tracks = tracker.add_keypoints(tracks, kps, depth_filt, time, cam, kcfg)
     tracks = tracker.prune(tracks, time, kcfg)
+    # the legacy CRF has no velocity unaries, but the segm-level table still
+    # advances so '-segm_mode crf' runs keep it consistent
+    use_segm_tracker = cfg.odometry.segm_lvl != cfg.odometry.init_lvl
+    if use_segm_tracker:
+        kps_s = _detect_keypoints_level(
+            frame_pyr.intensity, cfg.odometry.segm_lvl, cfg, sp_params
+        )
+        tracks_segm = tracker.prune(
+            tracker.add_keypoints(
+                state.tracks_segm, kps_s, depth_filt, time, cam, kcfg
+            ),
+            time, kcfg,
+        )
+    else:
+        tracks_segm = state.tracks_segm
 
     obj = state.objects
 
@@ -1071,8 +1121,6 @@ def _multi_frame_step_legacy(
     # ---- legacy CRF segmentation -------------------------------------------
     poses_prev = jnp.concatenate([state.pose[None], obj.pose], axis=0)
     poses_new = jnp.concatenate([new_pose0[None], obj_poses_new], axis=0)
-    s1 = jnp.mod(time, tracks.history)
-    txy = tracks.xy[:, s1]
     model_active = jnp.concatenate([jnp.array([True]), obj.active])
     allow_new = cfg.enable_model_spawning and cfg.object_slots > 0
 
@@ -1145,12 +1193,9 @@ def _multi_frame_step_legacy(
     slot_maxd = seg_maxd[1 : 1 + n_slots]
     new_maxd = seg_maxd[1 + n_slots]
 
-    xi = jnp.clip(jnp.rint(txy[:, 0]).astype(jnp.int32), 0, w - 1)
-    yi = jnp.clip(jnp.rint(txy[:, 1]).astype(jnp.int32), 0, h - 1)
-    seen_now = tracks.last_seen == time
-    track_label = mask[yi, xi]
-    new_model_id = jnp.where(seen_now, track_label, tracks.model_id)
-    tracks = tracks._replace(model_id=new_model_id)
+    tracks = _associate_tracks(tracks, mask, time, h, w)
+    if use_segm_tracker:
+        tracks_segm = _associate_tracks(tracks_segm, mask, time, h, w)
 
     refine_len = min(8, tracks.history - 2)
     rng, rkey = jax.random.split(rng)
@@ -1354,7 +1399,8 @@ def _multi_frame_step_legacy(
     new_state = MultiState(
         smap=smap, pose=new_pose0, prev_pose=state.pose, filled=filled,
         pred_own=jnp.zeros((h, w), jnp.int32),  # unused by the legacy path
-        last_intensity_coarse=coarse, tracks=tracks, rng=rng, objects=objects,
+        last_intensity_coarse=coarse, tracks=tracks,
+        tracks_segm=tracks_segm, rng=rng, objects=objects,
         prev_mask=mask, prev_intensity=intensity,
         last_spawn=jnp.where(claim, jnp.int32(time), state.last_spawn),
         ferns=ferns_db, bad_track_count=bad_count, lost=lost,

@@ -211,3 +211,44 @@ def test_engine_model_listeners():
     evs = engine.drain_events()
     assert len(evs) == 1 and seen == evs
     assert engine.drain_events() == []  # cursor advanced; no replay
+
+
+def test_control_server_stream_view():
+    """Live view push stream (the reference GUI's running viewport,
+    MainController.cpp:717-977): frames arrive while the engine advances."""
+    import base64 as _b64
+    import json as _json
+    import socket as _socket
+
+    import cv2
+
+    engine = _small_engine(2)
+    srv = control.ControlServer(engine, port=0)
+    try:
+        # generous socket timeout: each pushed frame may recompile the view
+        # renderer at a new surfel bucket on the CPU test backend
+        with _socket.create_connection(
+            ("127.0.0.1", srv.port), timeout=600
+        ) as s:
+            f = s.makefile("rw")
+            f.write(_json.dumps(
+                {"cmd": "stream_view", "kind": "color", "hz": 20}
+            ) + "\n")
+            f.flush()
+            ack = _json.loads(f.readline())
+            assert ack["ok"] and ack["streaming"]
+            first = _json.loads(f.readline())
+            assert first["type"] == "view" and first["kind"] == "color"
+            png = _b64.b64decode(first["png"])
+            img = cv2.imdecode(np.frombuffer(png, np.uint8), cv2.IMREAD_COLOR)
+            assert img.shape == (CAM.height, CAM.width, 3) and img.max() > 0
+            t0 = first["tick"]
+            # advance the engine; the stream must push a NEW frame for it
+            for fr in SyntheticLogReader(CAM, num_frames=4,
+                                         cam_step=(0.003, 0, 0)):
+                engine.process_frame(fr)
+            engine.finish()
+            second = _json.loads(f.readline())
+            assert second["type"] == "view" and second["tick"] > t0
+    finally:
+        srv.close()

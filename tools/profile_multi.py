@@ -44,6 +44,8 @@ def main():
     ap.add_argument("--trace", default="")
     ap.add_argument("--bucket-obj", type=int, default=0,
                     help="object work bucket (0 = object_capacity)")
+    ap.add_argument("--no-full", action="store_true",
+                    help="skip the FULL-step timing (slow first compile)")
     args = ap.parse_args()
 
     from multimotionfusion_tpu import engine_multi as em
@@ -83,7 +85,8 @@ def main():
         )[0].pose
 
     res = {}
-    res["FULL multi_frame_step"] = timeit(full, R)
+    if not args.no_full:
+        res["FULL multi_frame_step"] = timeit(full, R)
 
     if args.trace:
         jax.block_until_ready(full())
