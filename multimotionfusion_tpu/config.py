@@ -84,11 +84,13 @@ class OdometryConfig:
     init_lvl: int = 0
     segm_lvl: int = 0
     # GN early-exit: stop a level once the applied step is below this norm in
-    # BOTH translation (m) and rotation (rad). Pure performance — the remaining
-    # iterations move the pose by ~20 um / 20 urad — far below the mm-scale
-    # accuracy floor of the sensor model. The reference always burns its full
-    # iteration budget (no analogue).
-    convergence_eps: float = 2e-5
+    # BOTH translation (m) and rotation (rad). Pure performance — remaining
+    # iterations move the pose by ~0.1 mm / 0.1 mrad — below the mm-scale
+    # accuracy floor of the sensor model, and comparable to the numerical
+    # noise floor of the f32 normal equations themselves (steps below ~1e-4
+    # are solver noise, so waiting for 2e-5 just burned the full budget).
+    # The reference always runs all iterations (no analogue).
+    convergence_eps: float = 1e-4
     # Evaluate the level-0 GN systems on a stride-N pixel grid (1 = every
     # pixel, like the reference). At 640x480 the full-res grid gives ~3e5
     # residual rows for 6 unknowns; stride 2 keeps ~7.6e4 rows (still vastly
@@ -97,6 +99,13 @@ class OdometryConfig:
     # single hottest op of the whole frame — by ~4x. The sampling bank and
     # warp stay full-resolution, so no detail is lost to pre-filtering.
     fine_subsample: int = 2
+    # Same idea one level up (OFF by default): evaluate the level-1 GN
+    # systems on a stride-2 grid. Measured on TPU this is a net LOSS at
+    # default schedules — the coarser level-1 solve hands level 0 a worse
+    # start and the finest level burns its full iteration budget (10 vs ~6),
+    # costing more than the level-1 rows saved. Kept as a knob for
+    # fast-odom-style configurations.
+    mid_subsample: int = 1
     # Produce full-resolution per-pixel ICP/RGB error images at the final
     # pose (one extra full-res evaluation). Only the legacy CoFusion CRF
     # consumes them (Segmentation.cpp:212-332); off by default.
@@ -221,6 +230,17 @@ class SegmentationConfig:
     flow_ramp_lo: float = 0.2
     flow_ramp_hi: float = 5.0
     new_label_min_frac: float = 0.05
+    # Minimum posterior a non-global row needs to claim a pixel; below it the
+    # pixel defaults to the global model. CRF smoothness floods a weak
+    # (~q*ramp < 0.2) copy of an object's label over adjacent texture-less /
+    # track-less regions; without this floor those flooded claims win pixels
+    # no model actually explains, and fusion then feeds background into
+    # object maps (phantom models). 0.25 sits above the flood level but
+    # below a slow (2 px/frame) mover's flow claim (ramp ~0.37 x q) and far
+    # below any reprojection fit (p ~ 1). The reference's normalised rows +
+    # global-first tie-break suppress the same flood implicitly
+    # (Segmentation.cpp:1174-1246).
+    min_claim_prob: float = 0.25
     # reference defaults: weightSmoothness=40, weightAppearance=40
     # (Core/Segmentation/Segmentation.h:147-148); the Gaussian kernel gets
     # 4x the smoothness weight (Segmentation.cpp:1132)

@@ -62,7 +62,30 @@ from multimotionfusion_tpu.utils import se3
 # global-segment subsample stride for the CRF-scale per-model depth render
 # (see the render_model_depths call below); 1 disables (env override for
 # perf bisection)
-_RMD_GLOBAL_STRIDE = int(os.environ.get("MMF_RMD_STRIDE", "4"))
+# Stride choice is coverage-critical, not just a perf knob: the CRF-scale
+# per-model depth is a scatter-MIN, and a cell whose true-surface surfel got
+# strided out "predicts" whatever candidate survived (often a stale ghost or
+# nothing) — measured at stride 8 as a speckled field of phantom OUTLIER
+# cells across the whole image that the CRF then assembles into phantom
+# new-object segments. Stride 2 global / dense objects, plus
+# render_model_depths' splat-analogue hole fill: higher strides were
+# measured to destabilise the five-mover lifecycle even with the fill (the
+# min over fewer candidates biases pred depth off the true surface at
+# exactly the young-model cells that drive spawning).
+_RMD_GLOBAL_STRIDE = int(os.environ.get("MMF_RMD_STRIDE", "2"))
+_RMD_OBJECT_STRIDE = int(os.environ.get("MMF_RMD_OBJ_STRIDE", "1"))
+
+
+def _stride_cols(a: jnp.ndarray, s: int) -> jnp.ndarray:
+    """a[..., ::s] via reshape (last dim divisible by s) — a strided slice
+    lowers to a gather on TPU (~40x slower at frame shapes,
+    tools/microbench_scatter2.py); reshape[..., 0] is a contiguous slice."""
+    if s == 1:
+        return a
+    n = a.shape[-1]
+    if n % s:
+        return a[..., ::s]
+    return a.reshape(a.shape[:-1] + (n // s, s))[..., 0]
 
 
 class ObjectSlots(NamedTuple):
@@ -565,32 +588,45 @@ def multi_frame_step(
         )
     else:
         # per-model depth at CRF scale for the reprojection term: one offset
-        # scatter over ALL surfels instead of M full-res splat passes. The
-        # GLOBAL segment is stride-subsampled: at 1/4 resolution each CRF
-        # cell covers 16 full-res pixels (>= ~16 fused surfels of a mature
-        # map), so every 4th surfel still gives ~4 depth candidates per cell
-        # while cutting the scatter-min's update count (the scatter was the
-        # single hottest op of the frame at 7.4 ms; updates price it, not
-        # bins). Depth bias from the thinner min is bounded by surface
-        # sampling noise (<1 cm) — far below sigma_depth (3 cm). Object
-        # segments stay dense (young models are small and their footprint
-        # drives spawning/segmentation).
+        # scatter over ALL surfels instead of M full-res splat passes. Both
+        # segments are stride-subsampled (scatter-min cost is ~7 ns/update —
+        # updates price it, not bins; tools/microbench_scatter2.py): at 1/4
+        # resolution each CRF cell covers 16 full-res pixels (>= ~16 fused
+        # surfels of a mature map), so a stride-8 GLOBAL segment still gives
+        # ~2 depth candidates per cell and a stride-2 object segment keeps
+        # young movers' footprints dense (their area drives spawning). Depth
+        # bias from the thinner min is bounded by surface sampling noise
+        # (< 1 cm) — far below sigma_depth (3 cm). Strides go through
+        # _stride_cols: a reshape, NOT a strided slice (which lowers to a
+        # 40x-costlier gather).
         gs = _RMD_GLOBAL_STRIDE
+        os_ = _RMD_OBJECT_STRIDE
+        o_flat = jnp.moveaxis(o_local, 0, 1).reshape(sm.CHANNELS, -1)
         flat_rmd = jnp.concatenate(
-            [g_local[:, ::gs],
-             jnp.moveaxis(o_local, 0, 1).reshape(sm.CHANNELS, -1)],
-            axis=1,
+            [_stride_cols(g_local, gs), _stride_cols(o_flat, os_)], axis=1,
         )
-        alive_rmd = jnp.concatenate([galive[::gs], oalive.reshape(-1)])
+        alive_rmd = jnp.concatenate(
+            [_stride_cols(galive, gs), _stride_cols(oalive.reshape(-1), os_)]
+        )
+        n_obj_rmd = (n_slots * Bo + os_ - 1) // os_
+        bo_rmd = (Bo + os_ - 1) // os_
         seg_model_rmd = jnp.concatenate(
             [
                 jnp.zeros((g_local.shape[1] + gs - 1) // gs, jnp.int32),
-                jnp.arange(n_slots * Bo, dtype=jnp.int32) // Bo + 1,
+                jnp.arange(n_obj_rmd, dtype=jnp.int32) // bo_rmd + 1,
             ]
         )
         cam_c = _crf_camera(cam, cfg.segmentation.scale)
+        # NO confidence gate here (zeros, not conf_all): this render answers
+        # "does any model explain the observed depth?", for which young
+        # low-confidence surfels are evidence too. Gating by the render
+        # threshold (~10, reached after ~10 sightings) leaves an early map
+        # predicting only its confident subset — measured as ~10 cm self-
+        # misprediction over a third of the image in a 9-frame-old session,
+        # which the outlier class then harvests into phantom segments.
         pred_depth_c = rasterize.render_model_depths(
-            flat_rmd, alive_rmd, seg_model_rmd, conf_all, maxd_all, n_models,
+            flat_rmd, alive_rmd, seg_model_rmd,
+            jnp.zeros((n_models,), jnp.float32), maxd_all, n_models,
             cam_c, time, scfg.time_delta,
         )
         seg_res = seg.flow_crf_segmentation(
@@ -604,7 +640,28 @@ def multi_frame_step(
     kxi = jnp.clip(jnp.rint(kps.xy[:, 0]).astype(jnp.int32), 0, w - 1)
     kyi = jnp.clip(jnp.rint(kps.xy[:, 1]).astype(jnp.int32), 0, h - 1)
     in_seg = seg_res.new_label_mask[kyi, kxi] & kps.valid & kp_hasd
-    red_ok, red_err, red_T, rng = _redetect(obj, kps, kp_p3d, in_seg, rng, cfg)
+    # the per-slot match + 2-stage RANSAC only matters when an unclaimed new
+    # segment AND a stored inactive model coexist — a rare event; lax.cond
+    # skips its ~1 ms on every other frame
+    redetect_possible = seg_res.has_new_label & jnp.any(
+        obj.stored & ~obj.active
+    )
+    rng, red_key = jax.random.split(rng)
+
+    def _do_red(k):
+        ok, err, T, _ = _redetect(obj, kps, kp_p3d, in_seg, k, cfg)
+        return ok, err, T
+
+    def _no_red(k):
+        return (
+            jnp.zeros((n_slots,), bool),
+            jnp.full((n_slots,), jnp.inf, jnp.float32),
+            jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (n_slots, 4, 4)),
+        )
+
+    red_ok, red_err, red_T = jax.lax.cond(
+        redetect_possible, _do_red, _no_red, red_key
+    )
     redetect_enabled = cfg.enable_redetection and allow_new
     red_ok = (
         red_ok & obj.stored & ~obj.active
@@ -649,6 +706,15 @@ def multi_frame_step(
     )
     slot_maxd = seg_maxd[1 : 1 + n_slots]
     new_maxd = seg_maxd[1 + n_slots]
+    # symmetric LOWER bound for the SPAWN backprojection (the reference only
+    # clamps far, :408; near outliers are rare there, but our CRF-scale mask
+    # upsample can include near-foreground bleed): a new model is built only
+    # from pixels inside the segment's own depth band
+    new_mind = jnp.maximum(
+        seg_res.depth_mean[1 + n_slots]
+        - jnp.maximum(1.2 * seg_res.depth_std[1 + n_slots], 0.05),
+        0.0,
+    )
 
     # ---- track <-> segment association (MultiMotionFusion.cpp:585-604) -----
     tracks = _associate_tracks(tracks, mask, time, h, w)
@@ -677,23 +743,47 @@ def multi_frame_step(
     refine_T = jax.lax.cond(spawn, do_refine, no_refine, rkey)
 
     # ---- spawn: initialise the claimed slot from the new-label pixels ------
-    fs = sm.compute_frame_surfels(
-        rgb, vmap_raw, vmap_f, nmap_f, cam, time, scfg.depth_cutoff, 100.0
-    )  # weight 100 = the reference's spawn fuse weight (MultiMotionFusion.cpp:569)
+    # fusion weight (global), hoisted above the spawn so ONE
+    # compute_frame_surfels serves both consumers — the spawn variant only
+    # differs by its fixed weight 100 (MultiMotionFusion.cpp:569), a scale
+    # on the CONF channel
+    diff = new_pose0 @ se3.inverse_T(state.prev_pose)
+    motion = jnp.maximum(
+        jnp.linalg.norm(diff[:3, 3]), jnp.linalg.norm(se3.so3_log(diff[:3, :3]))
+    )
+    weighting = (
+        jnp.maximum(1.0 - jnp.minimum(motion, 0.01) / 0.01, 0.5) * weight_multiplier
+    )
+    fs_w = sm.compute_frame_surfels(
+        rgb, vmap_raw, vmap_f, nmap_f, cam, time, scfg.depth_cutoff, weighting
+    )
+    spawn_conf_scale = 100.0 / jnp.maximum(weighting, 1e-6)
     spawn_valid = (
-        fs.valid & (mask == new_id).reshape(-1) & spawn
-        & (fs.data[sm.PZ] <= new_maxd)
+        fs_w.valid & (mask == new_id).reshape(-1) & spawn
+        & (fs_w.data[sm.PZ] <= new_maxd)
+        & (fs_w.data[sm.PZ] >= new_mind)
     )
-    spawn_fs = sm.FrameSurfels(
-        data=jnp.where(spawn_valid[None], fs.data, 0.0), valid=spawn_valid
-    )
-    spawn_map = sm.init_from_frame(spawn_fs, cfg.object_capacity)
     is_spawn_slot = (jnp.arange(n_slots) == target_slot) & spawn
     is_red_slot = (jnp.arange(n_slots) == target_slot) & any_red
+
+    # the 307200-surfel compaction scatter only matters on a spawn frame;
+    # lax.cond skips its ~2.5 ms on every other frame
+    def _mk_spawn(_):
+        sdat = jnp.where(spawn_valid[None], fs_w.data, 0.0)
+        sdat = sdat.at[sm.CONF].mul(spawn_conf_scale)
+        m_ = sm.init_from_frame(
+            sm.FrameSurfels(data=sdat, valid=spawn_valid), cfg.object_capacity
+        )
+        return m_.data, m_.count
+
+    def _no_spawn(_):
+        return jnp.zeros_like(obj.data[0]), jnp.zeros((), jnp.int32)
+
+    spawn_data, spawn_count = jax.lax.cond(spawn, _mk_spawn, _no_spawn, None)
     obj_data = jnp.where(
-        is_spawn_slot[:, None, None], spawn_map.data[None], obj.data
+        is_spawn_slot[:, None, None], spawn_data[None], obj.data
     )
-    obj_count = jnp.where(is_spawn_slot, spawn_map.count, obj.count)
+    obj_count = jnp.where(is_spawn_slot, spawn_count, obj.count)
     # `reactivate`: an inactive slot whose EXTERNAL mask id reappeared
     # (precomputed mode only) resumes with its retained map
     obj_active = obj.active | is_spawn_slot | is_red_slot | reactivate
@@ -738,9 +828,16 @@ def multi_frame_step(
         jnp.float32(scfg.object_conf_threshold),
         conf_t,
     )
+    # the band may DROP freely but RISES at most 5 cm/frame (1.5 m/s at
+    # 30 Hz — generous for a rigid object receding from the camera): ONE
+    # transiently wrong segment (e.g. the garbage-flow frame when an object
+    # leaves the scene hands its slot a background-majority claim) would
+    # otherwise jump the band onto the background, background would fuse
+    # into the object's map next frame, and the contaminated model could
+    # then claim background forever (reprojection fit ~ 1)
     max_depth = jnp.where(
         obj.active & (seg_res.pixel_counts[1 : 1 + n_slots] > 0),
-        slot_maxd,
+        jnp.minimum(slot_maxd, obj.max_depth + 0.05),
         obj.max_depth,
     )
     max_depth = jnp.where(is_spawn_slot | is_red_slot, new_maxd, max_depth)
@@ -766,37 +863,48 @@ def multi_frame_step(
         lambda d: jnp.sum(jnp.where(d[sm.ALIVE] > 0, d[sm.CONF], 0.0))
     )(obj_data[:, :, :Bo]) / jnp.maximum(alive_cnt.astype(jnp.float32), 1.0)
     keep_gate = (alive_cnt >= cfg.min_inactive_surfels) & (mean_conf > 0.3)
-    snap_d, snap_p, snap_v = _snapshot_tracks(obj, tracks, obj_pose)
     store_it = dying & keep_gate
+
+    # descriptor/point snapshots are only consumed on a store event; lax.cond
+    # skips the per-slot track gathers on every frame with no dying model
+    def _do_snap(_):
+        return _snapshot_tracks(obj, tracks, obj_pose)
+
+    def _no_snap(_):
+        return (
+            jnp.zeros_like(obj.stored_desc),
+            jnp.zeros_like(obj.stored_p3d),
+            jnp.zeros_like(obj.stored_valid),
+        )
+
+    snap_d, snap_p, snap_v = jax.lax.cond(
+        jnp.any(store_it), _do_snap, _no_snap, None
+    )
     obj_stored = obj_stored | store_it
     stored_desc = jnp.where(store_it[:, None, None], snap_d, obj.stored_desc)
     stored_p3d = jnp.where(store_it[:, None, None], snap_p, obj.stored_p3d)
     stored_valid = jnp.where(store_it[:, None], snap_v, obj.stored_valid)
 
-    # ---- fusion weight (global) --------------------------------------------
-    diff = new_pose0 @ se3.inverse_T(state.prev_pose)
-    motion = jnp.maximum(
-        jnp.linalg.norm(diff[:3, 3]), jnp.linalg.norm(se3.so3_log(diff[:3, :3]))
-    )
-    weighting = (
-        jnp.maximum(1.0 - jnp.minimum(motion, 0.01) / 0.01, 0.5) * weight_multiplier
-    )
-    fs_w = sm.compute_frame_surfels(
-        rgb, vmap_raw, vmap_f, nmap_f, cam, time, scfg.depth_cutoff, weighting
-    )
-
     # ---- composite render at FINAL poses/data -> fuse -> clean -> predict --
+    # post-spawn data/pose differ from the pre-segmentation transform ONLY at
+    # the claimed slot (spawned/redetected); re-transform just that slot and
+    # patch it in instead of re-running the full [S, C, Bo] transform
     obj_db2 = obj_data[:, :, :Bo]
-    o_local2 = jax.vmap(
-        lambda d, p: sm.transform_surfels(d, se3.inverse_T(p))
-    )(obj_db2, obj_pose)
+    claim_data = jnp.take(obj_db2, target_slot, axis=0)  # [C, Bo]
+    claim_local = sm.transform_surfels(
+        claim_data, se3.inverse_T(jnp.take(obj_pose, target_slot, axis=0))
+    )
+    is_claim = (jnp.arange(n_slots) == target_slot) & claim
+    o_local2 = jnp.where(is_claim[:, None, None], claim_local[None], o_local)
     flat_local2 = jnp.concatenate(
         [g_local, jnp.moveaxis(o_local2, 0, 1).reshape(sm.CHANNELS, -1)],
         axis=1,
     )
-    oalive2 = jax.vmap(
-        lambda d, c: (jnp.arange(Bo, dtype=jnp.int32) < c) & (d[sm.ALIVE] > 0)
-    )(obj_db2, obj_count)
+    claim_alive = (
+        jnp.arange(Bo, dtype=jnp.int32)
+        < jnp.take(obj_count, target_slot, axis=0)
+    ) & (claim_data[sm.ALIVE] > 0)
+    oalive2 = jnp.where(is_claim[:, None], claim_alive[None], oalive)
     alive_flat2 = jnp.concatenate([galive, oalive2.reshape(-1)])
     conf_all2 = jnp.concatenate(
         [jnp.array([scfg.conf_threshold], jnp.float32), conf_t]

@@ -168,11 +168,36 @@ def multi_incremental_transformation(
     T_prev = T_prev.astype(f32)
     if active is None:
         active = jnp.ones((M,), bool)
-    own_pyr = (
-        imops.build_pyramid_nearest(pred_own.astype(jnp.int32), cfg.num_pyr)
-        if pred_own is not None
-        else None
-    )
+    if pred_own is not None:
+        # boundary erosion: the prediction ownership is one frame stale, so a
+        # mover's leading/trailing edge (~its per-frame motion in px) is
+        # misattributed — sphere depth under global-owned pixels drags the
+        # camera solve at ~mm/frame (measured 0.17 m over a 17-frame
+        # five-mover journey). A 1-px no-owner band at every ownership
+        # boundary drops exactly those rows from ALL models' systems; "no
+        # owner" is the existing id M (win_model_image's none value), which
+        # the one-hot row gating already excludes. The reference's maskID
+        # gating has the same one-frame lag but tolerates it at its scale.
+        own0 = pred_own.astype(jnp.int32)
+        mx = own0
+        mn = own0
+        # band radius 2 px: the stale edge is the mover's per-frame motion
+        # (~2 px at the test scale, ~5 px at the bench's orbit speed); a 1 px
+        # band measurably under-covers (camera drift 0.091 vs 0.08 bound)
+        for _ in range(2):
+            mx2, mn2 = mx, mn
+            for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+                mx2 = jnp.maximum(mx2, jnp.roll(mx, (dy, dx), axis=(0, 1)))
+                mn2 = jnp.minimum(mn2, jnp.roll(mn, (dy, dx), axis=(0, 1)))
+            mx, mn = mx2, mn2
+        # asymmetric: only GLOBAL-owned boundary pixels are demoted. Eroding
+        # object rows too starves thin/small models (their edge band is a
+        # large fraction of their footprint); an object's own stale edge only
+        # perturbs that object's solve, which its next prediction corrects.
+        own_eroded = jnp.where((own0 == 0) & (mx != mn), jnp.int32(M), own0)
+        own_pyr = imops.build_pyramid_nearest(own_eroded, cfg.num_pyr)
+    else:
+        own_pyr = None
 
     # ---- SO(3) pre-alignment: ONCE for the camera (full-frame intensity).
     # The vmapped path ran it per model on the SAME images, producing the
@@ -356,7 +381,12 @@ def multi_incremental_transformation(
             level.vmap_curr, level.nmap_curr, level.img_next,
             level.didx, level.didy, static_valid, v_valid,
         )
-        sub = cfg.fine_subsample if i == 0 else 1
+        # mid_subsample only engages at production-scale level-1 images
+        # (>= 64k px): at test-scale cameras (level 1 ~5k px) the thinned
+        # grid is too sparse for 6-model joint solves and the saving is nil
+        sub = (cfg.fine_subsample if i == 0
+               else cfg.mid_subsample
+               if i == 1 and cam_l.width * cam_l.height >= 65536 else 1)
         if sub == 2:
             vm, nm, im_n, dx_, dy_, sv_, vv_ = px_full
             chans = [im_n[None], dx_[None], dy_[None],
@@ -444,8 +474,11 @@ def multi_incremental_transformation(
                 & (jnp.linalg.norm(x[:, 0:3], axis=-1) < eps)
                 & (jnp.linalg.norm(x[:, 3:6], axis=-1) < eps)
             )
-            stopped = stopped | ~enough | converged
+            # (a stagnation stop on ICP-error improvement was tried here and
+            # reverted: GN error is not monotone, and one flat step froze
+            # models short of convergence — measured as camera drift)
             icp_err_new = jnp.sqrt(S_icp[:, 6, 6]) / jnp.maximum(icp_cnt, 1.0)
+            stopped = stopped | ~enough | converged
             return (
                 j + 1,
                 result_Rt,

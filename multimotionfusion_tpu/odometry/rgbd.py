@@ -869,8 +869,13 @@ def get_incremental_transformation(
             level.didx, level.didy, static_valid, v_valid,
         )
         # GN iterations at the finest level evaluate on a strided pixel grid
-        # (see OdometryConfig.fine_subsample); the warp/bank stay full-res
-        sub = cfg.fine_subsample if i == 0 else 1
+        # (see OdometryConfig.fine_subsample / mid_subsample); the warp/bank
+        # stay full-res
+        # mid_subsample only engages at production-scale level-1 images (see
+        # odometry/multi.py — too sparse at test-scale cameras, saving nil)
+        sub = (cfg.fine_subsample if i == 0
+               else cfg.mid_subsample
+               if i == 1 and cam_l.width * cam_l.height >= 65536 else 1)
         if sub == 2:
             # one fused stride-2 extraction for ALL per-pixel fields (a bare
             # [::2, ::2] slice per field lowers to a lane-stride gather each,
@@ -978,8 +983,8 @@ def get_incremental_transformation(
                 & (jnp.linalg.norm(x[0:3]) < eps)
                 & (jnp.linalg.norm(x[3:6]) < eps)
             )
-            stopped = stopped | diverging | ~enough | converged
             icp_err_new = jnp.sqrt(S_icp[6, 6]) / jnp.maximum(icp_cnt, 1.0)
+            stopped = stopped | diverging | ~enough | converged
             return (
                 j + 1,
                 result_Rt,

@@ -305,6 +305,11 @@ def render_model_depths(
         (kmin & (levels - 1)).astype(jnp.float32) * (8.0 / levels) - 4.0
     )
     depth = jnp.where(won, zw, 0.0).reshape(n_models, hc, wc)
+    # (a splat-disk-analogue hole fill — neighbour-min into empty cells —
+    # was tried here and reverted: extending every model's pred footprint by
+    # 1-2 ring cells shifts the covered/in-front outlier gates enough to
+    # destabilise the five-mover lifecycle; coverage density is instead
+    # guaranteed by the caller's conservative strides)
     return depth
 
 

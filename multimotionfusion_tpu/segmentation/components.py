@@ -26,12 +26,17 @@ def connected_components(mask: jnp.ndarray, iters: int = 64) -> jnp.ndarray:
     big = jnp.int32(h * w)
     lab = jnp.where(mask, idx, big)
 
+    rowf = jnp.full((1, w), big)
+    colf = jnp.full((h, 1), big)
+
     def sweep(lab, _):
+        # slice+concat shifts, not roll+dynamic-update (a DUS per edge per
+        # sweep serialises; concat of a slice and a constant row fuses)
         m = lab
-        m = jnp.minimum(m, jnp.roll(lab, 1, 0).at[0, :].set(big))
-        m = jnp.minimum(m, jnp.roll(lab, -1, 0).at[-1, :].set(big))
-        m = jnp.minimum(m, jnp.roll(lab, 1, 1).at[:, 0].set(big))
-        m = jnp.minimum(m, jnp.roll(lab, -1, 1).at[:, -1].set(big))
+        m = jnp.minimum(m, jnp.concatenate([rowf, lab[:-1, :]], axis=0))
+        m = jnp.minimum(m, jnp.concatenate([lab[1:, :], rowf], axis=0))
+        m = jnp.minimum(m, jnp.concatenate([colf, lab[:, :-1]], axis=1))
+        m = jnp.minimum(m, jnp.concatenate([lab[:, 1:], colf], axis=1))
         return jnp.where(mask, m, big), None
 
     lab, _ = jax.lax.scan(sweep, lab, None, length=iters)
@@ -67,12 +72,16 @@ def keep_largest_components_batched(
     big = jnp.int32(h * w)
     lab = jnp.where(masks, idx, big)
 
+    rowf = jnp.full((l, 1, w), big)
+    colf = jnp.full((l, h, 1), big)
+
     def sweep(lab, _):
+        # slice+concat shifts, not roll+dynamic-update (see connected_components)
         m = lab
-        m = jnp.minimum(m, jnp.roll(lab, 1, 1).at[:, 0, :].set(big))
-        m = jnp.minimum(m, jnp.roll(lab, -1, 1).at[:, -1, :].set(big))
-        m = jnp.minimum(m, jnp.roll(lab, 1, 2).at[:, :, 0].set(big))
-        m = jnp.minimum(m, jnp.roll(lab, -1, 2).at[:, :, -1].set(big))
+        m = jnp.minimum(m, jnp.concatenate([rowf, lab[:, :-1, :]], axis=1))
+        m = jnp.minimum(m, jnp.concatenate([lab[:, 1:, :], rowf], axis=1))
+        m = jnp.minimum(m, jnp.concatenate([colf, lab[:, :, :-1]], axis=2))
+        m = jnp.minimum(m, jnp.concatenate([lab[:, :, 1:], colf], axis=2))
         return jnp.where(masks, m, big), None
 
     lab, _ = jax.lax.scan(sweep, lab, None, length=iters)

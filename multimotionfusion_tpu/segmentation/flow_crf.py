@@ -104,7 +104,7 @@ def reprojection_probability(
     )
     # valid frame depth required: unobserved pixels can't vote for a new model
     outlier = jnp.where(frame_depth_c > 1e-6, outlier, 0.0)
-    return prob, outlier
+    return prob, outlier, behind
 
 
 def sparse_unary(
@@ -179,14 +179,27 @@ def flow_crf_segmentation(
     # 2. dense reprojection probability. pred_at_crf_scale: the composite
     # engine renders per-model depth directly at CRF scale
     # (rasterize.render_model_depths) — no full-res images to downsample.
-    frame_depth_c = imops.resize_bilinear(frame_depth, (hc, wc))
+    # DEPTH is downsampled by NEAREST (centre sample), never bilinear:
+    # averaging across an object/background discontinuity manufactures
+    # intermediate depths (e.g. 1.9 m from a 1.3 m sphere against a 2.5 m
+    # wall) that match NO model's prediction, firing a phantom OUTLIER ring
+    # around every object — measured as 2-3-cell rings that the CRF then
+    # assembles into phantom "new object" segments. Bilinear also smears
+    # invalid (0) depths into partial values at hole borders.
+    if h == hc * (h // hc) and w == wc * (w // wc):
+        ky, kx = h // hc, w // wc
+        frame_depth_c = frame_depth.reshape(hc, ky, wc, kx)[
+            :, ky // 2, :, kx // 2
+        ]
+    else:
+        frame_depth_c = imops.resize_bilinear(frame_depth, (hc, wc))
     if pred_at_crf_scale:
         pred_depth_c = pred_depth
     else:
         pred_depth_c = jax.vmap(
             lambda d: imops.resize_bilinear(d, (hc, wc))
         )(pred_depth)
-    p_proj_m, p_proj_out = reprojection_probability(
+    p_proj_m, p_proj_out, behind = reprojection_probability(
         frame_depth_c, pred_depth_c, model_active, cfg.sigma_depth
     )
     p_proj = jnp.concatenate([p_proj_m, p_proj_out[None]], axis=0)
@@ -222,6 +235,23 @@ def flow_crf_segmentation(
     p_flow = q * ramp[None]
     p_proj_g = jnp.where(p_proj < 0.3, 0.0, p_proj)
     prob = 1.0 - (1.0 - p_flow) * (1.0 - p_proj_g)
+    # visibility constraint on OBJECT rows: a pixel observed BEHIND model m's
+    # predicted surface is free space m has moved away from (an occlusion
+    # reveal) — m cannot claim it, however hard the CRF's smoothness floods
+    # m's label over the trailing edge (reveal pixels have flow and no
+    # tracks, so the flow ramp is open and the unary is uniform — without
+    # this gate the flooded claim wins, the object's adaptive max-depth band
+    # (mean + 1.2 std, MultiMotionFusion.cpp:408) stretches over the
+    # background, and fusion feeds background surfels into the object's map
+    # from which it then claims background FOREVER). The GLOBAL row is NOT
+    # gated: behind-global pixels are stale map geometry that fusion's
+    # see-through cull owns (clean pass), exactly like the outlier row's
+    # in_front gate above.
+    obj_behind = jnp.concatenate(
+        [jnp.zeros_like(behind[:1]), behind[1:],
+         jnp.zeros_like(behind[:1])], axis=0,
+    )
+    prob = jnp.where(obj_behind, 0.0, prob)
     # inactive model slots can never win
     label_ok = jnp.concatenate([model_active, jnp.array([allow_new])])
     prob = jnp.where(label_ok[:, None, None], prob, -1.0)
@@ -239,6 +269,11 @@ def flow_crf_segmentation(
         [jnp.arange(m, dtype=jnp.float32), jnp.zeros((1,), jnp.float32)]
     )
     lbl = jnp.argmax(prob - bias[:, None, None], axis=0)  # [Hc, Wc]
+    # minimum-claim-confidence floor (config.min_claim_prob): a pixel whose
+    # best non-global explanation stays weak is NOT handed to that model —
+    # it defaults to global, whose fusion/cull owns ambiguous geometry
+    best = jnp.max(prob, axis=0)
+    lbl = jnp.where((lbl > 0) & (best < cfg.min_claim_prob), 0, lbl)
 
     # 6. largest component per label, counts, new-label gate — all labels in
     # ONE batched sweep scan (components.keep_largest_components_batched)
@@ -246,6 +281,20 @@ def flow_crf_segmentation(
     largest_all = components.keep_largest_components_batched(label_stack)
     counts = jnp.sum(
         largest_all.reshape(n_labels, -1).astype(jnp.int32), axis=1
+    )
+    # minimum segment size for OBJECT labels (min_mask_size_px at full res,
+    # scaled to CRF cells): a model whose surviving component shrinks below
+    # it loses the pixels to the global model, so a dying claim reaches
+    # count 0 and the engine's unseen counter can actually fire
+    # (MultiMotionFusion.cpp:606-613 tests exact zero). Global (l=0) and
+    # the new-label class (own min_frac gate) are exempt.
+    min_cells = max(1, int(round(cfg.min_mask_size_px * cfg.scale * cfg.scale)))
+    obj_ok = counts >= min_cells
+    for l in range(1, m):
+        largest_all = largest_all.at[l].set(largest_all[l] & obj_ok[l])
+    counts = counts * jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), obj_ok[1:m].astype(jnp.int32),
+         jnp.ones((1,), jnp.int32)]
     )
     segm = jnp.full((hc, wc), -1, jnp.int32)
     for l in range(n_labels):
@@ -276,26 +325,62 @@ def flow_crf_segmentation(
         & ~at_border
     )
 
-    # upsample (nearest) to full resolution; unlabelled pixels -> model 0
-    ys = jnp.clip((jnp.arange(h) * cfg.scale).astype(jnp.int32), 0, hc - 1)
-    xs = jnp.clip((jnp.arange(w) * cfg.scale).astype(jnp.int32), 0, wc - 1)
-    full = segm[ys[:, None], xs[None, :]]
+    # upsample (nearest) to full resolution; unlabelled pixels -> model 0.
+    # Integer-factor case: broadcast+reshape (pure data movement) — the
+    # equivalent fancy-index gather costs ~30x more on TPU (3.2 ms vs 0.1 ms
+    # at this shape, tools/microbench_scatter2.py).
+    if h == hc * (h // hc) and w == wc * (w // wc) and h // hc == w // wc:
+        k = h // hc
+        full = jnp.broadcast_to(
+            segm[:, None, :, None], (hc, k, wc, k)
+        ).reshape(h, w)
+    else:
+        ys = jnp.clip((jnp.arange(h) * cfg.scale).astype(jnp.int32), 0, hc - 1)
+        xs = jnp.clip((jnp.arange(w) * cfg.scale).astype(jnp.int32), 0, wc - 1)
+        full = segm[ys[:, None], xs[None, :]]
     new_mask = full == m
     mask = jnp.where((full < 0) | (full == m), 0, full)
 
     scale_w = 1.0 / (cfg.scale * cfg.scale)
     pix_counts = (counts[:m].astype(jnp.float32) * scale_w).astype(jnp.int32)
-    dsum = jnp.zeros((m + 1,))
-    dsq = jnp.zeros((m + 1,))
-    dcnt = jnp.zeros((m + 1,))
-    for l in range(m + 1):  # index m = the new-label segment
-        sel = (full == l) & (frame_depth > 0)
-        dsum = dsum.at[l].set(jnp.sum(jnp.where(sel, frame_depth, 0.0)))
-        dsq = dsq.at[l].set(jnp.sum(jnp.where(sel, frame_depth**2, 0.0)))
-        dcnt = dcnt.at[l].set(jnp.sum(sel.astype(jnp.float32)))
-    n = jnp.maximum(dcnt, 1.0)
-    depth_mean = dsum / n
-    depth_std = jnp.sqrt(jnp.maximum(dsq / n - depth_mean**2, 0.0))
+    # per-segment depth statistics, SIGMA-CLIPPED (two passes): the CRF's
+    # smoothness corona rounds every segment outward by ~1-2 CRF cells, so a
+    # small object's segment is bimodal — object surface plus a background
+    # ring that can be >30% of the area. One-pass mean+1.2std over that
+    # mixture (the reference formula, MultiMotionFusion.cpp:408) yields a
+    # band that REACHES THE BACKGROUND, and everything downstream that
+    # trusts the band (spawn backprojection, per-frame fusion max-depth)
+    # then pulls background geometry into the object's map — the phantom-
+    # model failure (a vanished mover's slot claiming backdrop forever).
+    # The second pass recomputes over pixels within the first band, which
+    # collapses onto the dominant (object) mode. Computed at CRF scale: the
+    # mask IS CRF-scale information (nearest-upsampled), so full-res passes
+    # only cost more.
+    depth_ok = frame_depth_c > 1e-6
+    lbl_stack = jnp.stack(
+        [(segm == l) & depth_ok for l in range(m + 1)]
+    )  # [L, Hc, Wc]; index m = the new-label segment
+
+    def _stats(sel):
+        cnt = jnp.sum(sel, axis=(1, 2))
+        n = jnp.maximum(cnt, 1.0)
+        mu = jnp.sum(jnp.where(sel, frame_depth_c[None], 0.0), axis=(1, 2)) / n
+        var = (
+            jnp.sum(jnp.where(sel, frame_depth_c[None] ** 2, 0.0), axis=(1, 2))
+            / n
+            - mu**2
+        )
+        return mu, jnp.sqrt(jnp.maximum(var, 0.0)), cnt
+
+    sel0 = lbl_stack.astype(jnp.float32)
+    mu0, sd0, _ = _stats(sel0)
+    band = jnp.maximum(1.2 * sd0, 0.05)  # >= 5 cm so a flat segment keeps itself
+    lo = (mu0 - band)[:, None, None]
+    hi = (mu0 + band)[:, None, None]
+    sel1 = sel0 * (
+        (frame_depth_c[None] >= lo) & (frame_depth_c[None] <= hi)
+    ).astype(jnp.float32)
+    depth_mean, depth_std, _ = _stats(sel1)
 
     return SegmentationResult(
         mask=mask,

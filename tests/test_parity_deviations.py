@@ -89,7 +89,7 @@ def test_reprojection_probability_single_model_spawns_outlier():
     pred = np.full((1, h, w), 2.0, np.float32)  # model 0 predicts wall only
     active = jnp.asarray([True])
 
-    prob, outlier = flow_crf.reprojection_probability(
+    prob, outlier, _ = flow_crf.reprojection_probability(
         jnp.asarray(frame), jnp.asarray(pred), active, max_err=0.03
     )
     prob, outlier = np.asarray(prob), np.asarray(outlier)
@@ -106,7 +106,7 @@ def test_reprojection_probability_single_model_spawns_outlier():
     # reference's expsum==0 branch reaches the same outcome)
     pred2 = pred.copy()
     pred2[0, :5, :] = 0.0
-    prob2, outlier2 = flow_crf.reprojection_probability(
+    prob2, outlier2, _ = flow_crf.reprojection_probability(
         jnp.asarray(frame), jnp.asarray(pred2), active, max_err=0.03
     )
     assert (np.asarray(prob2)[0, :5, :] == 0).all()
@@ -117,7 +117,7 @@ def test_reprojection_probability_single_model_spawns_outlier():
     # it must not vote for a new object
     frame3 = frame.copy()
     frame3[10:20, 10:20] = 3.0  # farther than the predicted wall at 2 m
-    _, outlier3 = flow_crf.reprojection_probability(
+    _, outlier3, _ = flow_crf.reprojection_probability(
         jnp.asarray(frame3), jnp.asarray(pred), active, max_err=0.03
     )
     assert (np.asarray(outlier3)[mover] == 0).all()
@@ -137,7 +137,7 @@ def test_reprojection_probability_two_models_share_scene():
     pred[1, :, 20:] = 1.0  # model 1: the object half
     active = jnp.asarray([True, True])
 
-    prob, outlier = flow_crf.reprojection_probability(
+    prob, outlier, _ = flow_crf.reprojection_probability(
         jnp.asarray(frame), jnp.asarray(pred), active, max_err=0.03
     )
     prob, outlier = np.asarray(prob), np.asarray(outlier)
