@@ -54,7 +54,7 @@ def bench_static(trials: int = 4, per_trial: int = 20):
         surfels=SurfelConfig(max_surfels=1 << 20),
     )
     warmup = 16  # long enough for the surfel bucket to reach steady state
-    n_frames = warmup + trials * per_trial
+    n_frames = warmup + (trials + 1) * per_trial  # +1: pipelined-upload trial
     reader = SyntheticLogReader(
         cam, num_frames=n_frames, cam_step=(0.004, 0.0, 0.0),
         cam_rot_step=(0.0, 0.002, 0.0),
@@ -92,7 +92,24 @@ def bench_static(trials: int = 4, per_trial: int = 20):
             engine.process_frames(h)
         engine.finish()
         fps.append(per_trial / (time.time() - t0))
-    return max(fps), statistics.median(fps), upload_mbps
+
+    # pipelined-upload trial (NOT staged): the production IO pattern — chunk
+    # i+1 uploads on a background thread while chunk i computes. Keeps the
+    # end-to-end-including-transport number measured every round instead of
+    # argued away by the staging note above; on a production host (PCIe-
+    # attached TPU) this converges to the staged number.
+    chunk = frames[pos : pos + per_trial]
+    batches = [chunk[i : i + batch] for i in range(0, len(chunk), batch)]
+    t0 = time.time()
+    handle = engine.upload_batch(batches[0], background=False)
+    for nxt in batches[1:]:
+        nxt_h = engine.upload_batch(nxt, background=True)
+        engine.process_frames(handle)
+        handle = nxt_h
+    engine.process_frames(handle)
+    engine.finish()
+    fps_upload = per_trial / (time.time() - t0)
+    return max(fps), statistics.median(fps), upload_mbps, fps_upload
 
 
 def bench_multi_model(n_objects: int = 5, trials: int = 3, per_trial: int = 15):
@@ -126,14 +143,25 @@ def bench_multi_model(n_objects: int = 5, trials: int = 3, per_trial: int = 15):
         upload_yuv420=False,
         upload_depth_mm=False,
     )
+    # Five spheres on a 4-corner + centre grid, all at z = 1.7 with a COMMON
+    # orbit phase: relative geometry is constant, so projected disks never
+    # approach each other (pairwise separation ~30 px at every phase) while
+    # every sphere still moves ~4.6 px/frame against the static map. Radius
+    # 0.29 projects to ~90 px -> each sphere covers ~8.3% of the image —
+    # comfortably above the reference's hard-coded 5% new-label gate
+    # (Segmentation.cpp:1302). The previous layout (r=0.24, ~5.7%) sat AT
+    # the gate: the CRF's trimmed outlier components hovered at 4-5% and
+    # spawns fired only when drift accumulated, leaving 3/5 movers active at
+    # the end of warmup (round-4 bench honesty field; diagnosed with
+    # tools/diagnose_spawn.py).
     centres = [
-        np.array([-0.62, -0.18, 1.65]),
-        np.array([0.62, -0.18, 1.65]),
-        np.array([-0.4, 0.4, 1.6]),
-        np.array([0.4, 0.4, 1.6]),
-        np.array([0.0, -0.45, 1.7]),
+        np.array([-0.612, -0.354, 1.70]),
+        np.array([0.612, -0.354, 1.70]),
+        np.array([-0.612, 0.354, 1.70]),
+        np.array([0.612, 0.354, 1.70]),
+        np.array([0.0, 0.0, 1.70]),
     ][:n_objects]
-    radius = 0.24
+    radius = 0.29
     orbit_r, omega = 0.12, 0.12  # ~1.4 cm/frame tangential speed (~5 px)
     warmup = 8 + 4 * n_objects  # spawn cool-down windows + settling
     n_frames = warmup + trials * per_trial
@@ -143,9 +171,7 @@ def bench_multi_model(n_objects: int = 5, trials: int = 3, per_trial: int = 15):
         spheres = [
             (
                 tuple(
-                    c + orbit_r * np.array(
-                        [np.cos(th + k * 1.3), np.sin(th + k * 1.3), 0.0]
-                    )
+                    c + orbit_r * np.array([np.cos(th), np.sin(th), 0.0])
                 ),
                 radius,
             )
@@ -190,7 +216,7 @@ def bench_multi_model(n_objects: int = 5, trials: int = 3, per_trial: int = 15):
 
 
 def main() -> int:
-    best, med, upload_mbps = bench_static()
+    best, med, upload_mbps, fps_upload = bench_static()
     mm_best, mm_med, mm_active0, mm_active_per_trial = bench_multi_model()
     print(
         json.dumps(
@@ -201,6 +227,7 @@ def main() -> int:
                 "vs_baseline": round(best / 30.0, 4),
                 "median": round(med, 3),
                 "upload_mbps": round(upload_mbps, 1),
+                "e2e_fps_with_upload": round(fps_upload, 3),
                 "multi_model_5obj_fps": round(mm_best, 3),
                 "multi_model_5obj_median": round(mm_med, 3),
                 "multi_model_active_after_warmup": mm_active0,

@@ -25,7 +25,9 @@ State publishing (RosStatePublisher parity):
     {"cmd": "get_segmentation"}              -> latest mask, PNG base64
     {"cmd": "get_view", "kind": "color"}     -> predicted color/depth/normal PNG
     {"cmd": "get_pointcloud", "id": 0, "max_points": 65536}
-        -> base64 float32 [N, 6] xyz+rgb rows of model <id>'s live surfels
+        -> base64 float32 [N, 6] xyz+rgb rows of model <id>'s live surfels;
+        id = -1 -> [N, 7] xyz+rgb+model COMBINED world-frame scene (objects
+        placed at P_0 P_m^-1) for the 3D viewer (tools/live_viewer.py --mode cloud)
     {"cmd": "subscribe"}                     -> switches this connection into
         a push stream of model lifecycle events (new_model/inactive_model,
         reference Core/Callbacks.h) and periodic status lines
@@ -305,10 +307,59 @@ class ControlServer:
     def _pointcloud(self, model_id: int, max_points: int) -> dict:
         """xyz+rgb rows of one model's live surfels (the reference publishes
         these per model as sensor_msgs/PointCloud2,
-        RosStatePublisher.cpp:71-120)."""
+        RosStatePublisher.cpp:71-120). id = -1 returns the COMBINED scene in
+        the WORLD frame — every active object's model-frame surfels mapped
+        through P_0 P_m^-1 (the exportPoses object-in-world convention) and
+        tagged with a 7th column `m` (model id) so a 3D viewer can tint per
+        model — the reference GUI's main viewport content
+        (MainController.cpp:717-977 draws each model under its own pose)."""
         from multimotionfusion_tpu.model import surfel_map as sm
 
         e = self.engine
+        if model_id == -1:
+            if e.state is None:
+                return {"ok": False, "error": "no frames processed yet"}
+            d = e.global_model.download()
+            p0 = np.asarray(e.state.pose, np.float64)
+            parts = [np.concatenate(
+                [d["position"].astype(np.float32),
+                 d["color"].astype(np.float32),
+                 np.zeros((d["position"].shape[0], 1), np.float32)], axis=1
+            )]
+            if e.mstate is not None:
+                obj = e.mstate.objects
+                active = np.asarray(obj.active)
+                poses = np.asarray(obj.pose, np.float64)
+                data = np.asarray(obj.data)
+                for k in range(data.shape[0]):
+                    if not active[k]:
+                        continue
+                    dk = data[k]
+                    alive = dk[sm.ALIVE] > 0
+                    pos_m = dk[sm.POS].T[alive]
+                    col_m = dk[sm.COLOR].T[alive]
+                    t_wm = p0 @ np.linalg.inv(poses[k])
+                    pos_w = pos_m @ t_wm[:3, :3].T + t_wm[:3, 3]
+                    parts.append(np.concatenate(
+                        [pos_w.astype(np.float32), col_m.astype(np.float32),
+                         np.full((pos_w.shape[0], 1), k + 1, np.float32)],
+                        axis=1,
+                    ))
+            rows = np.concatenate(parts, axis=0)
+            n = rows.shape[0]
+            if n > max_points > 0:
+                idx = np.linspace(0, n - 1, max_points).astype(np.int64)
+                rows = rows[idx]
+            return {
+                "ok": True,
+                "count": int(rows.shape[0]),
+                "total": int(n),
+                "dtype": "<f4",
+                "columns": ["x", "y", "z", "r", "g", "b", "m"],
+                "data": base64.b64encode(
+                    np.ascontiguousarray(rows).tobytes()
+                ).decode(),
+            }
         if model_id == 0:
             if e.state is None:
                 return {"ok": False, "error": "no frames processed yet"}

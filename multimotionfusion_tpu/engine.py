@@ -597,11 +597,16 @@ class MultiMotionFusionTPU:
     @property
     def global_model(self) -> Model:
         # kept for API parity; surfel map state lives in self.state
+        # (static mode) or self.mstate.smap (multi-model mode)
         gm = self.models[0]
         if self.state is not None:
             gm.smap = self.state.smap
             gm.pose = self.state.pose
             gm.hwm = int(self.state.smap.count)
+        elif self.mstate is not None:
+            gm.smap = self.mstate.smap
+            gm.pose = self.mstate.pose
+            gm.hwm = int(self.mstate.smap.count)
         gm.pose_log = self._expand_pose_log()
         return gm
 

@@ -63,20 +63,32 @@ def _own_onehot(own: jnp.ndarray, n_models: int) -> jnp.ndarray:
     )
 
 
-def _per_owner_transform(vmap_hw3, own, Rts, rotate_only: bool = False):
+def _per_owner_transform(vmap_hw3, own, Rts, rotate_only: bool = False,
+                         oh=None):
     """Apply each pixel's OWNER's rigid transform: out[p] = R[own[p]] v[p] + t.
 
-    One-hot accumulation over the (static, small) model count — M fused FMAs
-    on the VPU instead of a 307k-index gather of 12 coefficients.
+    One-hot contraction over the (static, small) model count instead of a
+    307k-index gather of 12 coefficients: blend the per-pixel 3x4 transform
+    T[p] = sum_m oh[p, m] Rt[m] first (one [HW, M] x [M, 12] matmul), then
+    apply it pointwise. Two fused ops where the per-model loop emitted ~16
+    small ops per call (x2 calls x ~12 GN iterations/frame of dispatch).
+    `oh`: optional precomputed [H, W, M] owner one-hot (loop-invariant in the
+    GN loop — callers pass the level's own).
     """
-    acc = jnp.zeros_like(vmap_hw3)
+    h, w, _ = vmap_hw3.shape
+    m_n = Rts.shape[0]
     hi = jax.lax.Precision.HIGHEST
-    for m in range(Rts.shape[0]):
-        v = jnp.einsum("ij,hwj->hwi", Rts[m, :3, :3], vmap_hw3, precision=hi)
-        if not rotate_only:
-            v = v + Rts[m, :3, 3]
-        acc = acc + jnp.where((own == m)[..., None], v, 0.0)
-    return acc
+    if oh is None:
+        oh = jnp.stack(
+            [(own == m).astype(jnp.float32) for m in range(m_n)], axis=-1
+        )  # [H, W, M]
+    rt = Rts[:, :3, :4].reshape(m_n, 12)  # [M, 12]
+    t_px = jnp.einsum("hwm,mk->hwk", oh, rt, precision=hi)  # [H, W, 12]
+    r_px = t_px[..., :9].reshape(h, w, 3, 3)
+    out = jnp.einsum("hwij,hwj->hwi", r_px, vmap_hw3, precision=hi)
+    if not rotate_only:
+        out = out + t_px[..., 9:12]
+    return out
 
 
 def _seg_systems(rows: jnp.ndarray, oh_flat: jnp.ndarray) -> jnp.ndarray:
@@ -173,7 +185,7 @@ def multi_incremental_transformation(
         # mover's leading/trailing edge (~its per-frame motion in px) is
         # misattributed — sphere depth under global-owned pixels drags the
         # camera solve at ~mm/frame (measured 0.17 m over a 17-frame
-        # five-mover journey). A 1-px no-owner band at every ownership
+        # five-mover journey). A 2-px no-owner band at every ownership
         # boundary drops exactly those rows from ALL models' systems; "no
         # owner" is the existing id M (win_model_image's none value), which
         # the one-hot row gating already excludes. The reference's maskID
@@ -181,14 +193,29 @@ def multi_incremental_transformation(
         own0 = pred_own.astype(jnp.int32)
         mx = own0
         mn = own0
+
+        # non-wrapping 1-px shift with edge-replicate fill: jnp.roll would
+        # wrap across image borders, so opposite edges with different owners
+        # would spuriously demote a border band of valid global rows
+        def _shift_er(a, dy, dx):
+            if dy > 0:
+                a = jnp.concatenate([a[:1], a[:-1]], axis=0)
+            elif dy < 0:
+                a = jnp.concatenate([a[1:], a[-1:]], axis=0)
+            if dx > 0:
+                a = jnp.concatenate([a[:, :1], a[:, :-1]], axis=1)
+            elif dx < 0:
+                a = jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+            return a
+
         # band radius 2 px: the stale edge is the mover's per-frame motion
         # (~2 px at the test scale, ~5 px at the bench's orbit speed); a 1 px
         # band measurably under-covers (camera drift 0.091 vs 0.08 bound)
         for _ in range(2):
             mx2, mn2 = mx, mn
             for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
-                mx2 = jnp.maximum(mx2, jnp.roll(mx, (dy, dx), axis=(0, 1)))
-                mn2 = jnp.minimum(mn2, jnp.roll(mn, (dy, dx), axis=(0, 1)))
+                mx2 = jnp.maximum(mx2, _shift_er(mx, dy, dx))
+                mn2 = jnp.minimum(mn2, _shift_er(mn, dy, dx))
             mx, mn = mx2, mn2
         # asymmetric: only GLOBAL-owned boundary pixels are demoted. Eroding
         # object rows too starves thin/small models (their edge band is a
@@ -215,17 +242,18 @@ def multi_incremental_transformation(
         last_grads = rgbd.central_grads(last_next_img_l2)
 
         def so3_cond(carry):
-            return (carry[0] < cfg.so3_iterations) & ~carry[4]
+            return (carry[0] < cfg.so3_iterations) & ~carry[5]
 
         def so3_body(carry):
-            j, R, last_err, last_R, done = carry
+            j, R, last_err, last_cnt, last_R, done = carry
             S, cnt = rgbd.so3_system(
                 last_next_img_l2, so3_bank, last_grads, K @ R @ Kinv, Kinv,
                 K @ R,
             )
             cntf = cnt.astype(f32)
             err = jnp.sqrt(S[3, 3]) / jnp.maximum(cntf, 1.0)
-            converged = (err < last_err) & (jnp.abs(last_err - cntf) < 0.001)
+            # count-stable early-out (PARITY #25 — see rgbd.py's so3_body)
+            converged = (err < last_err) & (jnp.abs(last_cnt - cntf) < 0.5)
             diverging = err > last_err + 0.001
             delta = rgbd.solve_preconditioned(S[:3, :3], S[:3, 3])
             dn = jnp.linalg.norm(delta)
@@ -236,9 +264,10 @@ def multi_incremental_transformation(
                 done | converged, R, jnp.where(diverging, last_R, R_new)
             )
             return (j + 1, R_out, jnp.where(done, last_err, err),
+                    jnp.where(done, last_cnt, cntf),
                     jnp.where(done, last_R, R), done | converged | diverging)
 
-        init = (jnp.array(0, jnp.int32), jnp.eye(3, dtype=f32), big,
+        init = (jnp.array(0, jnp.int32), jnp.eye(3, dtype=f32), big, big,
                 jnp.eye(3, dtype=f32), jnp.array(False))
         out = jax.lax.while_loop(so3_cond, so3_body, init)
         so3_Rt = so3_Rt.at[:3, :3].set(out[1])
@@ -267,8 +296,9 @@ def multi_incremental_transformation(
         """Evaluate ALL models' ICP+RGB systems at their current increments."""
         (vmap_curr, nmap_curr, img_next, didx, didy, static_valid,
          v_valid) = px
+        oh_hw = oh_flat.reshape(vmap_curr.shape[0], vmap_curr.shape[1], -1)
         Rt_inv = jax.vmap(se3.inverse_T)(result_Rt)  # [M,4,4]
-        vcp = _per_owner_transform(vmap_curr, own_sub, Rt_inv)
+        vcp = _per_owner_transform(vmap_curr, own_sub, Rt_inv, oh=oh_hw)
         z = vcp[..., 2]
         safe_z = jnp.where(z != 0, z, 1.0)
         uf = vcp[..., 0] * cam_l.fx / safe_z + cam_l.cx
@@ -282,7 +312,7 @@ def multi_incremental_transformation(
         n_cp = n_cp / jnp.maximum(nn, 1e-12)
         in_bounds = vprev_ok & nprev_ok & (z > 0) & v_valid
         nc_cp = _per_owner_transform(nmap_curr, own_sub, Rt_inv,
-                                     rotate_only=True)
+                                     rotate_only=True, oh=oh_hw)
         dist = jnp.linalg.norm(d_cp - vcp, axis=-1)
         sine = jnp.linalg.norm(jnp.cross(nc_cp, n_cp), axis=-1)
         ncurr_valid = jnp.sum(nmap_curr * nmap_curr, axis=-1) > 0
@@ -313,10 +343,11 @@ def multi_incremental_transformation(
             sigma = _seg_sums((diff * diff).reshape(-1), oh_flat) * scale2
             tmp_err = jnp.sqrt(sigma) / jnp.maximum(rgb_size, 1.0)
             sigma_val = jnp.where(tmp_err == 0, 1.0, rgb_size)  # [M]
-            # per-pixel sigma of the pixel's owner
-            sig_px = jnp.zeros(valid.shape, f32)
-            for m in range(M):
-                sig_px = sig_px + jnp.where(own_sub == m, sigma_val[m], 0.0)
+            # per-pixel sigma of the pixel's owner (one one-hot contraction)
+            sig_px = jnp.einsum(
+                "hwm,m->hw", oh_hw, sigma_val,
+                precision=jax.lax.Precision.HIGHEST,
+            )
             w_raw = sig_px + jnp.abs(diff)
             wgt = jnp.where(w_raw > 1.19209290e-7, 1.0 / w_raw, 1.0)
             zc = cp[..., 2]

@@ -121,6 +121,53 @@ def solve_preconditioned(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.all(jnp.isfinite(x)), x, jnp.zeros_like(x))
 
 
+def solve_trunc_ldlt(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Jacobi-scaled, PIVOT-CLAMPED unrolled LDLT solve of a tiny SPD system.
+
+    Same protective semantics as solve_preconditioned's truncated eigensolve
+    — a near-degenerate direction gets a ZERO step while healthy directions
+    get the full Newton step — but truncation happens in the elimination
+    basis (pivots < 1e-4 of the unit-scaled diagonal are zeroed out) instead
+    of the eigenbasis. Why it exists: jnp.linalg.eigh lowers to XLA's
+    iterative QDWH-eig — hundreds of device ops per call — and the GN loops
+    call a solve per model per iteration; this unrolled n<=6 elimination is
+    ~50 fused vector ops, batched over models for free. On the scaled matrix
+    (unit diagonal) elimination pivots track the eigenvalue spectrum closely
+    enough that the clamp fires on the same degenerate geometry (a lone
+    sphere patch's translation/rotation ambiguity).
+    """
+    n = A.shape[-1]
+    d = jnp.sqrt(jnp.clip(jnp.diagonal(A, axis1=-2, axis2=-1), 1e-12))
+    dinv = 1.0 / d
+    Ah = A * dinv[..., :, None] * dinv[..., None, :]
+    bh = b * dinv
+    # unrolled forward elimination with pivot clamping: a zeroed pivot row
+    # neither eliminates nor contributes to the back-substitution
+    rows = [Ah[..., i, :] for i in range(n)]
+    rhs = [bh[..., i] for i in range(n)]
+    xs = [None] * n
+    ok = [None] * n
+    for i in range(n):
+        piv = rows[i][..., i]
+        ok[i] = piv > 1e-4
+        inv_piv = jnp.where(ok[i], 1.0 / jnp.where(ok[i], piv, 1.0), 0.0)
+        for j in range(i + 1, n):
+            f = rows[j][..., i] * inv_piv
+            rows[j] = rows[j] - f[..., None] * rows[i]
+            rhs[j] = rhs[j] - f * rhs[i]
+    for i in range(n - 1, -1, -1):
+        acc = rhs[i]
+        for j in range(i + 1, n):
+            acc = acc - rows[i][..., j] * xs[j]
+        piv = rows[i][..., i]
+        xs[i] = jnp.where(
+            ok[i], acc / jnp.where(ok[i], piv, 1.0), 0.0
+        )
+    x = jnp.stack(xs, axis=-1) * dinv
+    finite = jnp.all(jnp.isfinite(x), axis=-1, keepdims=True)
+    return jnp.where(finite, x, 0.0)
+
+
 def clamp_step(x: jnp.ndarray, max_trans: float = 0.1, max_rot: float = 0.1) -> jnp.ndarray:
     """Trust-region clamp on one GN step.
 
@@ -693,9 +740,14 @@ def get_incremental_transformation(
             cntf = cnt.astype(f32)
             err = jnp.sqrt(S[3, 3]) / jnp.maximum(cntf, 1.0)
 
-            # reference convergence formula kept verbatim (RGBDOdometry.cpp:285),
-            # including its error-vs-count comparison
-            converged = (err < last_err) & (jnp.abs(last_err - cntf) < 0.001)
+            # DEVIATION (PARITY #25): the reference's convergence test
+            # (RGBDOdometry.cpp:285) compares |lastError - lastSO3Count| —
+            # error against COUNT — which is never < 0.001 in practice, so
+            # its SO(3) loop only ever stops on divergence or the iteration
+            # cap (all 10 every frame). The evident intent is count
+            # stability; testing it stops after ~3-4 iterations at the same
+            # rotation (the GN refinement consumes the result either way)
+            converged = (err < last_err) & (jnp.abs(last_count - cntf) < 0.5)
             diverging = err > last_err + 0.001
 
             delta = solve_preconditioned(S[:3, :3], S[:3, 3])

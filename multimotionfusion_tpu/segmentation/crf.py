@@ -193,24 +193,37 @@ def bilateral_grid_message(
     )
     occ = _blur_hw_leading(occ, sig)
 
-    # blur across the feature axes (separable; slab axis unpacked to bins^F)
-    sigma_bins = sigma_f * scale  # [F] in bin units
-    grid = grid.reshape(hp, wp, *([grid_bins] * f), nl)
-    occ = occ.reshape(hp, wp, *([grid_bins] * f))
+    # blur across the feature axes: ONE circulant contraction on the slab
+    # axis. The separable per-axis 5-tap roll loops emitted ~20 small
+    # [hp, wp, bins^F(, L)] ops per mean-field iteration; the same linear map
+    # is kern = kron_f(circulant_f) applied as a single [S, S] matmul on the
+    # MXU (S = bins^F = 64 here). Numerically identical including the rolls'
+    # wrap-around (the circulant wraps the same way).
+    import numpy as np
+
+    sigma_bins = sigma_f * scale  # [F] in bin units (traced)
+    offs = list(range(-2, 3))
+    roll_mats = np.stack(
+        [np.eye(grid_bins, dtype=np.float32)[:, np.roll(np.arange(grid_bins), -off)]
+         for off in offs]
+    )  # roll_mats[k][a, b] = 1 iff b == (a - off_k) mod bins
+    roll_mats = jnp.asarray(roll_mats)
+    hi2 = jax.lax.Precision.HIGHEST
+    kern = None
     for i in range(f):
-        ax = 2 + i
         sb = jnp.maximum(sigma_bins[i], 1e-3)
-        offs = list(range(-2, 3))
         wts = jnp.exp(-0.5 * (jnp.asarray(offs, q.dtype) / sb) ** 2)
         wts = wts / jnp.sum(wts)
-        grid = sum(
-            wts[k] * jnp.roll(grid, off, axis=ax) for k, off in enumerate(offs)
-        )
-        occ = sum(
-            wts[k] * jnp.roll(occ, off, axis=ax) for k, off in enumerate(offs)
-        )
-    grid = grid.reshape(hp, wp, nslab, nl)
-    occ = occ.reshape(hp, wp, nslab)
+        km = jnp.einsum("k,kab->ab", wts, roll_mats, precision=hi2)
+        if kern is None:
+            kern = km
+        else:
+            s0 = kern.shape[0]
+            kern = jnp.einsum("ab,cd->acbd", kern, km, precision=hi2).reshape(
+                s0 * grid_bins, s0 * grid_bins
+            )
+    grid = jnp.einsum("hwsl,st->hwtl", grid, kern, precision=hi2)
+    occ = jnp.einsum("hws,st->hwt", occ, kern, precision=hi2)
 
     # slice at pooled resolution: each pixel reads its own slab of its own
     # block — the transpose of the splat matmul (nearest upsample + per-pixel

@@ -61,9 +61,29 @@ def _lk_refine(prev: jnp.ndarray, nxt: jnp.ndarray, flow, iters: int, radius: in
     ys = jnp.arange(h, dtype=jnp.float32)[:, None]
     xs = jnp.arange(w, dtype=jnp.float32)[None, :]
 
+    # loop-invariant 4-tap bank (f32: flow residuals are small differences of
+    # intensities; bf16 rounding there is not zero-mean after the subtract):
+    # each warp is ONE gather of all four bilinear corners instead of four
+    # (TPU gather cost is per-row — this quarters the warp, the dominant op
+    # of the refine loop at the CRF working scale)
+    from multimotionfusion_tpu.odometry.rgbd import (
+        bilinear_taps, pack_bilinear_bank,
+    )
+
+    nxt_bank = pack_bilinear_bank([nxt], dtype=jnp.float32)
+
     fx, fy = flow
     for _ in range(iters):
-        warped = imops.bilinear_sample(nxt, xs + fx, ys + fy)
+        # clamp a hair inside the last pixel: the bank's corner taps live at
+        # (u0, u0+1), so u must stay below w-1 for u0 = w-2 edge blending
+        wu = jnp.clip(xs + fx, 0.0, w - 1.001)
+        wv = jnp.clip(ys + fy, 0.0, h - 1.001)
+        taps, tu, tv, _ = bilinear_taps(nxt_bank, wu, wv, 1)
+        t00, t01, t10, t11 = (t[..., 0] for t in taps)
+        warped = (
+            t00 * (1 - tu) * (1 - tv) + t01 * tu * (1 - tv)
+            + t10 * (1 - tu) * tv + t11 * tu * tv
+        )
         it = warped - prev
         bx = box(gx * it)
         by = box(gy * it)

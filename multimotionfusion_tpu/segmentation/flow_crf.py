@@ -275,12 +275,25 @@ def flow_crf_segmentation(
     best = jnp.max(prob, axis=0)
     lbl = jnp.where((lbl > 0) & (best < cfg.min_claim_prob), 0, lbl)
 
-    # 6. largest component per label, counts, new-label gate — all labels in
-    # ONE batched sweep scan (components.keep_largest_components_batched)
-    label_stack = jnp.stack([lbl == l for l in range(n_labels)])
-    largest_all = components.keep_largest_components_batched(label_stack)
-    counts = jnp.sum(
-        largest_all.reshape(n_labels, -1).astype(jnp.int32), axis=1
+    # 6. largest component per label, counts, new-label gate — OBJECT labels
+    # and the new-label class in ONE batched sweep scan. The GLOBAL label is
+    # deliberately excluded: its component is image-sized (geodesic diameter
+    # ~hc+wc, far beyond any affordable sweep budget — 64 sweeps left it
+    # fragmented and reported a ~2k-cell "largest component" for a ~17k-cell
+    # background), and pruning its satellites is a NO-OP anyway: unlabelled
+    # pixels default to the global model in the final mask. Skipping it
+    # fixes the global pixel-count / depth statistics and sheds 1/L of the
+    # sweep + size-scatter work.
+    label_stack = jnp.stack([lbl == l for l in range(1, n_labels)])
+    largest_obj = components.keep_largest_components_batched(label_stack)
+    counts = jnp.concatenate(
+        [
+            jnp.sum((lbl == 0).astype(jnp.int32))[None],
+            jnp.sum(
+                largest_obj.reshape(n_labels - 1, -1).astype(jnp.int32),
+                axis=1,
+            ),
+        ]
     )
     # minimum segment size for OBJECT labels (min_mask_size_px at full res,
     # scaled to CRF cells): a model whose surviving component shrinks below
@@ -291,20 +304,20 @@ def flow_crf_segmentation(
     min_cells = max(1, int(round(cfg.min_mask_size_px * cfg.scale * cfg.scale)))
     obj_ok = counts >= min_cells
     for l in range(1, m):
-        largest_all = largest_all.at[l].set(largest_all[l] & obj_ok[l])
+        largest_obj = largest_obj.at[l - 1].set(largest_obj[l - 1] & obj_ok[l])
     counts = counts * jnp.concatenate(
         [jnp.ones((1,), jnp.int32), obj_ok[1:m].astype(jnp.int32),
          jnp.ones((1,), jnp.int32)]
     )
-    segm = jnp.full((hc, wc), -1, jnp.int32)
-    for l in range(n_labels):
-        segm = jnp.where(largest_all[l], l, segm)
+    segm = jnp.where(lbl == 0, jnp.int32(0), jnp.int32(-1))
+    for l in range(1, n_labels):
+        segm = jnp.where(largest_obj[l - 1], l, segm)
 
     # border rejection (Segmentation.cpp:583-590, borderSize=20 full-res px):
     # a candidate segment whose bounding box lies entirely inside one border
     # band is an image-edge artefact (flow and splat coverage are both
     # unreliable there), not an entering object
-    new_comp = largest_all[m]
+    new_comp = largest_obj[m - 1]
     yy = jnp.arange(hc, dtype=jnp.int32)[:, None]
     xx = jnp.arange(wc, dtype=jnp.int32)[None, :]
     top = jnp.min(jnp.where(new_comp, yy, hc))

@@ -219,16 +219,17 @@ def patch_detect(
     xy, s, valid = _nms_topk(score, max_kp, conf_thresh, nms_radius)
 
     blurred = gaussian_blur(intensity, 1.0, 2)
-    # 8x8 samples at stride 2 centred on the keypoint
+    # 8x8 samples at stride 2 centred on the keypoint. Keypoints are NMS
+    # peaks (integer pixels) and the offsets are odd integers, so the sample
+    # grid is integer-valued: ONE clamped integer gather fetches every patch
+    # (the bilinear path degenerated to the same values through 4 gathers)
     offs = (jnp.arange(8, dtype=jnp.float32) - 3.5) * 2.0
     oy, ox = jnp.meshgrid(offs, offs, indexing="ij")
-    from multimotionfusion_tpu.ops.image import bilinear_sample
-
     px = xy[:, 0:1] + ox.reshape(1, -1)  # [K, 64]
     py = xy[:, 1:2] + oy.reshape(1, -1)
-    patches = bilinear_sample(blurred, px.reshape(-1), py.reshape(-1)).reshape(
-        -1, PATCH_DESC_DIM
-    )
+    xi = jnp.clip(jnp.rint(px).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(jnp.rint(py).astype(jnp.int32), 0, h - 1)
+    patches = blurred[yi, xi].reshape(-1, PATCH_DESC_DIM)
     patches = patches - jnp.mean(patches, axis=-1, keepdims=True)
     d = patches / jnp.maximum(jnp.linalg.norm(patches, axis=-1, keepdims=True), 1e-12)
     return Keypoints(xy=xy, score=s, desc=d, valid=valid)

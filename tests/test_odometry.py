@@ -123,3 +123,50 @@ def test_stats_populated():
     # error images written at level 0
     assert np.asarray(res.icp_error_image).shape == (CAM.height, CAM.width)
     assert float(jnp.max(res.icp_error_image)) > 0
+
+
+def test_trunc_ldlt_matches_eigh_solver():
+    """solve_trunc_ldlt == solve_preconditioned on healthy systems; both
+    null out a degenerate direction instead of stepping along it."""
+    import numpy as np
+
+    from multimotionfusion_tpu.odometry.rgbd import (
+        solve_preconditioned,
+        solve_trunc_ldlt,
+    )
+
+    rs = np.random.RandomState(3)
+    # healthy SPD systems with wildly different block scales (ICP vs RGB)
+    for _ in range(20):
+        m = rs.randn(6, 6)
+        a = m @ m.T + 0.5 * np.eye(6)
+        s = np.diag([1e3, 1e3, 1e3, 1.0, 1.0, 1.0])
+        a = s @ a @ s
+        b = s @ rs.randn(6)
+        x0 = np.asarray(solve_preconditioned(jnp.asarray(a, jnp.float32),
+                                             jnp.asarray(b, jnp.float32)))
+        x1 = np.asarray(solve_trunc_ldlt(jnp.asarray(a, jnp.float32),
+                                         jnp.asarray(b, jnp.float32)))
+        ref = np.linalg.solve(a, b)
+        assert np.allclose(x0, ref, rtol=2e-2, atol=1e-4), (x0, ref)
+        assert np.allclose(x1, ref, rtol=2e-2, atol=1e-4), (x1, ref)
+
+    # degenerate: a near-null direction must get ~zero step, not a huge one
+    q, _ = np.linalg.qr(rs.randn(6, 6))
+    w = np.array([5.0, 3.0, 2.0, 1.0, 0.5, 1e-7])
+    a = (q * w) @ q.T
+    b = q[:, -1] * 0.01 + q[:, 0] * 1.0  # junk along the null direction
+    x0 = np.asarray(solve_preconditioned(jnp.asarray(a, jnp.float32),
+                                         jnp.asarray(b, jnp.float32)))
+    x1 = np.asarray(solve_trunc_ldlt(jnp.asarray(a, jnp.float32),
+                                     jnp.asarray(b, jnp.float32)))
+    # the truncated solvers stay bounded (the full solve would step ~1e5)
+    assert np.linalg.norm(x0) < 10.0, x0
+    assert np.linalg.norm(x1) < 10.0, x1
+
+    # batched form matches the loop
+    A = np.stack([a, np.eye(6, dtype=np.float64) * 2.0])
+    B = np.stack([b, np.arange(6.0)])
+    xb = np.asarray(solve_trunc_ldlt(jnp.asarray(A, jnp.float32),
+                                     jnp.asarray(B, jnp.float32)))
+    assert np.allclose(xb[1], np.arange(6.0) / 2.0, atol=1e-5), xb[1]

@@ -27,7 +27,9 @@ from multimotionfusion_tpu.utils.cache import enable_persistent_cache
 enable_persistent_cache()
 
 
-def analyse(outdir: str, top: int = 45):
+def analyse(outdir: str, top: int = 45, frames: int = 5):
+    import re
+
     files = sorted(glob.glob(os.path.join(outdir, "**", "*.trace.json.gz"),
                              recursive=True))
     with gzip.open(files[-1]) as f:
@@ -49,6 +51,29 @@ def analyse(outdir: str, top: int = 45):
     print(f"\n{len(dev)} device events, total {total/1000:.2f} ms")
     for k, v in c.most_common(top):
         print(f"{v/1000:9.3f} ms  x{n[k]:<4d} {k[:160]}")
+
+    # LEAF accounting (containers excluded so nothing double-counts): by
+    # output shape, plus the dispatch tail of tiny ops — the numbers the
+    # round-5 optimisation pass was driven by
+    cont = re.compile(r"^(%?(while|conditional|call)|jit)")
+    leaf = [e for e in dev if not cont.match(e["name"])]
+    lt = sum(e["dur"] for e in leaf)
+    print(f"\nLEAF: {len(leaf)} events, {lt/1000:.2f} ms total "
+          f"({lt/(1000*frames):.2f} ms/frame over {frames} frames)")
+    cs = Counter()
+    ns = Counter()
+    for e in leaf:
+        a = e.get("args") or {}
+        ln = a.get("long_name") or ""
+        m = re.search(r"= (\S+?)\s", ln)
+        shape = m.group(1) if m else e["name"].split(".")[0]
+        cs[shape] += e["dur"]
+        ns[shape] += 1
+    for k, v in cs.most_common(30):
+        print(f"{v/(1000*frames):7.3f} ms/f x{ns[k]:<6d} {k[:90]}")
+    tiny = [e for e in leaf if e["dur"] < 20]
+    print(f"tiny (<20us) tail: {len(tiny)} ops, "
+          f"{sum(e['dur'] for e in tiny)/(1000*frames):.2f} ms/frame")
 
 
 def main():
