@@ -82,7 +82,11 @@ def _per_owner_transform(vmap_hw3, own, Rts, rotate_only: bool = False,
         oh = jnp.stack(
             [(own == m).astype(jnp.float32) for m in range(m_n)], axis=-1
         )  # [H, W, M]
-    rt = Rts[:, :3, :4].reshape(m_n, 12)  # [M, 12]
+    # rotation rows FIRST, then translation — a plain [:, :3, :4] reshape
+    # would interleave t into the rotation block
+    rt = jnp.concatenate(
+        [Rts[:, :3, :3].reshape(m_n, 9), Rts[:, :3, 3]], axis=1
+    )  # [M, 12]
     t_px = jnp.einsum("hwm,mk->hwk", oh, rt, precision=hi)  # [H, W, 12]
     r_px = t_px[..., :9].reshape(h, w, 3, 3)
     out = jnp.einsum("hwij,hwj->hwi", r_px, vmap_hw3, precision=hi)
@@ -194,28 +198,22 @@ def multi_incremental_transformation(
         mx = own0
         mn = own0
 
-        # non-wrapping 1-px shift with edge-replicate fill: jnp.roll would
-        # wrap across image borders, so opposite edges with different owners
-        # would spuriously demote a border band of valid global rows
-        def _shift_er(a, dy, dx):
-            if dy > 0:
-                a = jnp.concatenate([a[:1], a[:-1]], axis=0)
-            elif dy < 0:
-                a = jnp.concatenate([a[1:], a[-1:]], axis=0)
-            if dx > 0:
-                a = jnp.concatenate([a[:, :1], a[:, :-1]], axis=1)
-            elif dx < 0:
-                a = jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
-            return a
-
         # band radius 2 px: the stale edge is the mover's per-frame motion
         # (~2 px at the test scale, ~5 px at the bench's orbit speed); a 1 px
-        # band measurably under-covers (camera drift 0.091 vs 0.08 bound)
+        # band measurably under-covers (camera drift 0.091 vs 0.08 bound).
+        # The shifts deliberately stay jnp.roll (wrap-around): at borders the
+        # wrapped comparison demotes a row only when the OPPOSITE edge's
+        # ownership differs. Round 5 tried both "cleaner" alternatives —
+        # edge-replicate (no border demotion) and fill-with-no-owner (always
+        # demote the border band) — and the five-mover battery failed under
+        # each (slot deaths resp. 0.17 m camera drift vs the 0.08 bound):
+        # the solver's row population is tuned around the wrap behaviour,
+        # and both directions of change destabilise it.
         for _ in range(2):
             mx2, mn2 = mx, mn
             for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
-                mx2 = jnp.maximum(mx2, _shift_er(mx, dy, dx))
-                mn2 = jnp.minimum(mn2, _shift_er(mn, dy, dx))
+                mx2 = jnp.maximum(mx2, jnp.roll(mx, (dy, dx), axis=(0, 1)))
+                mn2 = jnp.minimum(mn2, jnp.roll(mn, (dy, dx), axis=(0, 1)))
             mx, mn = mx2, mn2
         # asymmetric: only GLOBAL-owned boundary pixels are demoted. Eroding
         # object rows too starves thin/small models (their edge band is a
@@ -252,8 +250,14 @@ def multi_incremental_transformation(
             )
             cntf = cnt.astype(f32)
             err = jnp.sqrt(S[3, 3]) / jnp.maximum(cntf, 1.0)
-            # count-stable early-out (PARITY #25 — see rgbd.py's so3_body)
-            converged = (err < last_err) & (jnp.abs(last_cnt - cntf) < 0.5)
+            # reference convergence formula kept VERBATIM here, including
+            # its error-vs-count comparison (RGBDOdometry.cpp:285 — see
+            # PARITY #25): the count-stable early-out that the static path's
+            # SO(3) loop uses (rgbd.py) was tried here too and reverted —
+            # the multi-model five-mover battery is chaotically sensitive to
+            # the seed perturbation (a marginal mask-support assert flips),
+            # and the ~0.7 ms saved is not worth an unvalidated lifecycle
+            converged = (err < last_err) & (jnp.abs(last_err - cntf) < 0.001)
             diverging = err > last_err + 0.001
             delta = rgbd.solve_preconditioned(S[:3, :3], S[:3, 3])
             dn = jnp.linalg.norm(delta)
