@@ -40,12 +40,29 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
 
     try:
         with open("/proc/cpuinfo") as f:
-            flags = next(
-                (ln for ln in f if ln.startswith("flags")), platform.machine()
-            )
+            cpu = f.read()
+        # the full model line + flags: two machines reported IDENTICAL flag
+        # sets in round 5 while XLA chose different codegen preferences
+        # (+prefer-no-scatter AOT entries loaded onto a host without them,
+        # warning "could lead to execution errors" — and numerics differed
+        # between cache-loaded and fresh-compiled runs, which made
+        # borderline lifecycle tests flip between identical invocations)
+        flags = "".join(
+            ln for ln in cpu.splitlines()
+            if ln.startswith(("flags", "model name"))
+        )
     except OSError:
         flags = platform.machine()
-    tag = hashlib.sha1(str(flags).encode()).hexdigest()[:12]
+    import jax
+
+    ver = getattr(jax, "__version__", "")
+    try:
+        import jaxlib
+
+        ver += "+" + getattr(jaxlib, "__version__", "")
+    except Exception:
+        pass
+    tag = hashlib.sha1((str(flags) + ver).encode()).hexdigest()[:12]
     loc = os.path.join(loc, f"host-{tag}")
 
     import jax
