@@ -932,7 +932,13 @@ def multi_frame_step(
         )
     else:
         # per-model depth at CRF scale for the reprojection term: one offset
-        # scatter over ALL surfels instead of M full-res splat passes. Both
+        # scatter over ALL surfels instead of M full-res splat passes.
+        # (A round-5 variant derived this from the composite index map's
+        # winner depth instead — per-model block-min, no scatter, -5 ms/frame
+        # — and was REVERTED: a model only covers cells it WINS in the
+        # composite z-test, and the coverage loss at object/stale-copy
+        # overlaps shifted the five-mover claim margins enough to flip the
+        # lifecycle battery.) Both
         # segments are stride-subsampled (scatter-min cost is ~7 ns/update —
         # updates price it, not bins; tools/microbench_scatter2.py): at 1/4
         # resolution each CRF cell covers 16 full-res pixels (>= ~16 fused
