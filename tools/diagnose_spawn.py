@@ -45,13 +45,13 @@ def main(n_objects: int = 5, extra: int = 15):
     )
     # keep in lockstep with bench.bench_multi_model's scene
     centres = [
-        np.array([-0.612, -0.354, 1.70]),
-        np.array([0.612, -0.354, 1.70]),
-        np.array([-0.612, 0.354, 1.70]),
-        np.array([0.612, 0.354, 1.70]),
-        np.array([0.0, 0.0, 1.70]),
+        np.array([-0.62, -0.18, 1.65]),
+        np.array([0.62, -0.18, 1.65]),
+        np.array([-0.4, 0.4, 1.6]),
+        np.array([0.4, 0.4, 1.6]),
+        np.array([0.0, -0.45, 1.7]),
     ][:n_objects]
-    radius = 0.29
+    radius = 0.26
     orbit_r, omega = 0.12, 0.12
     warmup = 8 + 4 * n_objects
     n_frames = warmup + extra
@@ -61,7 +61,9 @@ def main(n_objects: int = 5, extra: int = 15):
         spheres = [
             (
                 tuple(
-                    c + orbit_r * np.array([np.cos(th), np.sin(th), 0.0])
+                    c + orbit_r * np.array(
+                        [np.cos(th + k * 1.3), np.sin(th + k * 1.3), 0.0]
+                    )
                 ),
                 radius,
             )
